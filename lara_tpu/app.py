@@ -1,0 +1,75 @@
+"""Whole-program flow: the equivalent of ``main`` (``/root/reference/src/lara.cpp:44-61``).
+
+``run(params)``: read inputs -> solve all pairs -> write the library.
+Pair enumeration mirrors ``solve`` (``subgradient_solver.hpp:112-120``): every
+unordered pair of input records, with the longer sequence first (ties keep
+the original index order, per the ``>=`` comparison).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Tuple
+
+from lara_tpu.io.records import InputStorage
+from lara_tpu.io.writers import OutputLibrary
+from lara_tpu.params import Parameters
+from lara_tpu.utils import log
+
+
+def enumerate_pairs(store) -> List[Tuple[int, int]]:
+    """All index pairs, longer sequence first; processed longest-first
+    (the reference's length-sorted work queue, ``io.hpp:352-365``)."""
+    pairs = []
+    for idx_a in range(len(store) - 1):
+        for idx_b in range(idx_a + 1, len(store)):
+            if len(store[idx_a].sequence) >= len(store[idx_b].sequence):
+                pairs.append((idx_a, idx_b))
+            else:
+                pairs.append((idx_b, idx_a))
+    pairs.sort(key=lambda p: (-len(store[p[0]].sequence), -len(store[p[1]].sequence)))
+    return pairs
+
+
+def load_input(params: Parameters) -> InputStorage:
+    log(1, "2) Read input files...")
+    return InputStorage(
+        in_file=params.in_file,
+        ref_file=params.ref_file,
+        dotplot_files=params.dotplot_files,
+        structure_scoring=params.structure_scoring,
+        out_format=params.out_format,
+        predict_structures=params.predict,
+    )
+
+
+def run(params: Parameters) -> OutputLibrary:
+    time_start = time.monotonic()
+    log(1, "1) Parse parameters...")
+    store = load_input(params)
+    outlib = OutputLibrary(store, params.out_format)
+    pairs = enumerate_pairs(store)
+    log(1, f"3) Solve {len(pairs)} structural alignments...")
+
+    backend = params.backend
+    if backend == "device":
+        try:
+            from lara_tpu.solver import device_driver
+        except ImportError:
+            log(1, "   * device backend unavailable, using reference backend")
+            backend = "reference"
+
+    if backend == "reference":
+        from lara_tpu.solver import reference_driver
+
+        for (ia, ib) in pairs:
+            result = reference_driver.solve_pair(store[ia], store[ib], params, (ia, ib))
+            outlib.add_alignment(result.seq_indices, result.columns, result.score)
+    else:
+        for result in device_driver.solve_all(store, pairs, params):
+            outlib.add_alignment(result.seq_indices, result.columns, result.score)
+
+    log(1, "4) Write results...")
+    outlib.print(params.out_file if params.out_file else None)
+    log(1, f"lara-tpu has run for {time.monotonic() - time_start:.1f} seconds.")
+    return outlib
