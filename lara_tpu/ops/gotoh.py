@@ -1,0 +1,295 @@
+"""Batched anti-diagonal Gotoh affine-gap DP in JAX.
+
+TPU-first design: the O(L^2) DP is swept along anti-diagonals so each step is
+a pure vector operation over (batch, diagonal-offset) -- the reference's SIMD
+lanes (``subgradient_solver_simd.hpp``) become a real batch dimension, and
+the per-diagonal vectors map onto the VPU.  The score matrix is pre-skewed
+into diagonal-major layout once per call so the scan body does no gathers,
+only shifts.
+
+Semantics are identical to :mod:`lara_tpu.solver.oracle` (tested cell-for-
+cell): recurrences and border handling follow ``PairwiseGotoh``
+(``/root/reference/src/edge_filter.hpp:79-116``), gap convention is SeqAn's
+(open includes the first gap character), traceback tie-breaking is the
+documented lara-tpu policy (M > H > V at matches; extend-first in gaps).
+
+Shapes: a batch of B problems padded to [LA, LB] with per-lane true lengths
+``la, lb``; all shapes static under jit.  Values beyond (la, lb) are garbage
+by design -- the DP only flows forward, so the captured cell (la, lb) is
+exact (validated against the oracle).
+
+Arithmetic is int32 (the reference's ScoreType); scores stay within +-1.8e9
+for L up to ~20k as in the reference, so no wraparound occurs in the valid
+region.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lara_tpu.types import PSSM_INIT
+
+NEG_INF = jnp.int32(-1431655764)
+I32 = jnp.int32
+
+# state codes
+MAT, HOR, VER = 0, 1, 2
+
+
+def skew_scores(scores: jax.Array, fill) -> jax.Array:
+    """[B, LA, LB] cell scores -> diagonal-major [D+1, B, LA+1] where
+    T[d, :, i] = scores[:, i-1, d-i-1... ] for matrix cell (i, j=d-i)."""
+    b, la, lb = scores.shape
+    num_diag = la + lb + 1
+    d_idx = jnp.arange(num_diag, dtype=I32)[:, None]
+    i_idx = jnp.arange(la + 1, dtype=I32)[None, :]
+    j_idx = d_idx - i_idx
+    valid = (i_idx >= 1) & (j_idx >= 1) & (j_idx <= lb)
+    flat = jnp.clip((i_idx - 1) * lb + (j_idx - 1), 0, la * lb - 1)
+    gathered = scores.reshape(b, la * lb)[:, flat]  # [B, D+1, LA+1]
+    skewed = jnp.where(valid[None], gathered, I32(fill))
+    return jnp.transpose(skewed, (1, 0, 2))
+
+
+def _shift(x: jax.Array) -> jax.Array:
+    """Shift +1 along the diagonal-offset axis (i-1 lookup)."""
+    return jnp.concatenate([jnp.full_like(x[..., :1], NEG_INF), x[..., :-1]], axis=-1)
+
+
+class DPResult(NamedTuple):
+    final_m: jax.Array  # [B] value at (la, lb)
+    final_h: jax.Array
+    final_v: jax.Array
+    aux: jax.Array      # dirs [D+1, B, LA+1] uint8  or  prefix [D+1, B, LA+1] int32
+
+
+@functools.partial(jax.jit, static_argnames=("la_max", "emit"))
+def gotoh_scan(skewed, la, lb, go, ge, la_max: int, emit: str = "dirs") -> DPResult:
+    """Run the wavefront DP over pre-skewed scores.
+
+    ``emit='dirs'``: auxiliary output is the packed traceback direction map
+    (2 bits per M/H/V source).  ``emit='prefix'``: auxiliary output is
+    max(M,H,V) per cell (diagonal-major), for the edge filter.
+    """
+    num_diag, b, width = skewed.shape
+    assert width == la_max + 1
+    go = I32(go)
+    ge = I32(ge)
+    la = la.astype(I32)
+    lb = lb.astype(I32)
+    i_idx = jnp.arange(width, dtype=I32)[None, :]  # [1, W]
+
+    neg = jnp.full((b, width), NEG_INF, dtype=I32)
+    init = (
+        neg, neg, neg,  # d-1
+        neg, neg, neg,  # d-2
+        jnp.full((b,), NEG_INF, I32),
+        jnp.full((b,), NEG_INF, I32),
+        jnp.full((b,), NEG_INF, I32),
+    )
+
+    def border_gap(d):
+        return jnp.where(d == 0, I32(0), go + ge * (d - 1))
+
+    def step(carry, inputs):
+        d, t_row = inputs  # d scalar, t_row [B, W]
+        m1, h1, v1, m2, h2, v2, fm, fh, fv = carry
+
+        # M from diagonal d-2 at i-1
+        m2s, h2s, v2s = _shift(m2), _shift(h2), _shift(v2)
+        best_prev = jnp.maximum(jnp.maximum(m2s, h2s), v2s)
+        m_new = best_prev + t_row
+        mdir = jnp.where(m2s == best_prev, MAT, jnp.where(h2s == best_prev, HOR, VER))
+
+        # H from diagonal d-1 at same i (cell (i, j-1)); prefer extension
+        hh, hm, hv = h1 + ge, m1 + go, v1 + go
+        h_new = jnp.maximum(jnp.maximum(hh, hm), hv)
+        hdir = jnp.where(hh == h_new, HOR, jnp.where(hm == h_new, MAT, VER))
+
+        # V from diagonal d-1 at i-1 (cell (i-1, j)); prefer extension
+        m1s, h1s, v1s = _shift(m1), _shift(h1), _shift(v1)
+        vv, vm, vh = v1s + ge, m1s + go, h1s + go
+        v_new = jnp.maximum(jnp.maximum(vv, vm), vh)
+        vdir = jnp.where(vv == v_new, VER, jnp.where(vm == v_new, MAT, HOR))
+
+        # border overrides: cell (0, d) and cell (d, 0)
+        bg = border_gap(d)
+        top = i_idx == 0
+        left = i_idx == d
+        m_new = jnp.where(top | left, bg, m_new)
+        h_new = jnp.where(top, jnp.where(d == 0, NEG_INF, bg),
+                          jnp.where(left, NEG_INF, h_new))
+        v_new = jnp.where(left, jnp.where(d == 0, NEG_INF, bg),
+                          jnp.where(top, NEG_INF, v_new))
+
+        # capture the per-lane terminal cell (la, lb) on its diagonal
+        at_end = (d == la + lb)[:, None]
+        la_col = la[:, None]
+        pick = jnp.take_along_axis
+        fm = jnp.where(at_end[:, 0], pick(m_new, la_col, axis=1)[:, 0], fm)
+        fh = jnp.where(at_end[:, 0], pick(h_new, la_col, axis=1)[:, 0], fh)
+        fv = jnp.where(at_end[:, 0], pick(v_new, la_col, axis=1)[:, 0], fv)
+
+        if emit == "dirs":
+            aux = (mdir | (hdir << 2) | (vdir << 4)).astype(jnp.uint8)
+        else:
+            aux = jnp.maximum(jnp.maximum(m_new, h_new), v_new)
+
+        new_carry = (m_new, h_new, v_new, m1, h1, v1, fm, fh, fv)
+        return new_carry, aux
+
+    ds = jnp.arange(num_diag, dtype=I32)
+    carry, aux = jax.lax.scan(step, init, (ds, skewed))
+    _, _, _, _, _, _, fm, fh, fv = carry
+    return DPResult(fm, fh, fv, aux)
+
+
+def unskew(diag_major: jax.Array, la_max: int, lb_max: int) -> jax.Array:
+    """[D+1, B, LA+1] diagonal-major -> [B, LA+1, LB+1] rectangular."""
+    num_diag, b, width = diag_major.shape
+    x = jnp.transpose(diag_major, (1, 0, 2)).reshape(b, num_diag * width)
+    i_idx = jnp.arange(la_max + 1)[:, None]
+    j_idx = jnp.arange(lb_max + 1)[None, :]
+    flat = (i_idx + j_idx) * width + i_idx  # [LA+1, LB+1]
+    return x[:, flat.reshape(-1)].reshape(b, la_max + 1, lb_max + 1)
+
+
+class Traceback(NamedTuple):
+    upper: jax.Array      # [B] optimal score
+    lines: jax.Array      # [B, LCAP, 2] matched (a, b) pairs, ascending
+    n_lines: jax.Array    # [B]
+    gap_score: jax.Array  # [B]
+
+
+@functools.partial(jax.jit, static_argnames=("la_max", "lb_max"))
+def traceback(dirs, final_m, final_h, final_v, la, lb, go, ge,
+              la_max: int, lb_max: int) -> Traceback:
+    """Walk the packed direction map from (la, lb) back to (0, 0).
+
+    Emits matched lines (ascending), the affine gap score of the alignment
+    (``evaluateLines`` semantics, ``lagrange.hpp:147-221``), and the optimal
+    score.  Batched: every lane walks its own path under a mask.
+    """
+    num_diag, b, width = dirs.shape
+    lcap = min(la_max, lb_max)
+    go = I32(go)
+    ge = I32(ge)
+    la = la.astype(I32)
+    lb = lb.astype(I32)
+
+    upper = jnp.maximum(jnp.maximum(final_m, final_h), final_v)
+    state0 = jnp.where(final_m == upper, MAT, jnp.where(final_h == upper, HOR, VER)).astype(I32)
+
+    dirs_flat = dirs.reshape(-1)
+    lane = jnp.arange(b, dtype=I32)
+
+    def cond(carry):
+        i, j, _state, _cnt, _buf, _gap = carry
+        return jnp.any((i > 0) | (j > 0))
+
+    def body(carry):
+        i, j, state, cnt, buf, gap = carry
+        done = (i == 0) & (j == 0)
+        # border forcing (oracle policy)
+        state = jnp.where(i == 0, HOR, jnp.where(j == 0, VER, state))
+
+        d = i + j
+        code = dirs_flat[(d * b + lane) * width + i].astype(I32)
+        mdir = code & 3
+        hdir = (code >> 2) & 3
+        vdir = (code >> 4) & 3
+        pred = jnp.where(state == MAT, mdir, jnp.where(state == HOR, hdir, vdir))
+
+        is_m = (state == MAT) & ~done
+        pos = jnp.clip(lcap - 1 - cnt, 0, lcap - 1)
+        line_val = jnp.stack([i - 1, j - 1], axis=-1)
+        old = buf[lane, pos]
+        buf = buf.at[lane, pos].set(jnp.where(is_m[:, None], line_val, old))
+        cnt = cnt + is_m.astype(I32)
+
+        gap_h = jnp.where(pred == HOR, ge, go)
+        gap_v = jnp.where(pred == VER, ge, go)
+        gap = gap + jnp.where(~done & (state == HOR), gap_h, 0) \
+                  + jnp.where(~done & (state == VER), gap_v, 0)
+
+        ni = jnp.where(state != HOR, i - 1, i)
+        nj = jnp.where(state != VER, j - 1, j)
+        i = jnp.where(done, i, ni)
+        j = jnp.where(done, j, nj)
+        state = jnp.where(done, state, pred)
+        return i, j, state, cnt, buf, gap
+
+    buf0 = jnp.zeros((b, lcap, 2), dtype=I32)
+    init = (la, lb, state0, jnp.zeros((b,), I32), buf0, jnp.zeros((b,), I32))
+    _i, _j, _s, cnt, buf, gap = jax.lax.while_loop(cond, body, init)
+
+    # lines were written right-aligned in reverse order; shift left by lcap-cnt
+    k_idx = jnp.arange(lcap, dtype=I32)[None, :]
+    src = jnp.clip(k_idx + (lcap - cnt[:, None]), 0, lcap - 1)
+    lines = jnp.take_along_axis(buf, src[:, :, None], axis=1)
+    lines = jnp.where(k_idx[:, :, None] < cnt[:, None, None], lines, -1)
+    return Traceback(upper=upper, lines=lines, n_lines=cnt, gap_score=gap)
+
+
+@functools.partial(jax.jit, static_argnames=("la_max", "lb_max"))
+def align_pssm_batch(pssm, la, lb, go, ge, la_max: int, lb_max: int) -> Traceback:
+    """Batched equivalent of the per-iteration ``globalAlignment`` call
+    (``subgradient_solver.hpp:223-225``) plus line/gap extraction."""
+    skewed = skew_scores(pssm, PSSM_INIT)
+    res = gotoh_scan(skewed, la, lb, go, ge, la_max, emit="dirs")
+    return traceback(res.aux, res.final_m, res.final_h, res.final_v,
+                     la, lb, go, ge, la_max, lb_max)
+
+
+@functools.partial(jax.jit, static_argnames=("la_max", "lb_max"))
+def edge_filter_batch(seq_a, seq_b, la, lb, submat, go, ge, subopt,
+                      la_max: int, lb_max: int):
+    """Batched ``generateEdges`` (``edge_filter.hpp:131-158``).
+
+    Returns (active [B, LA, LB] bool, opt [B] int32).  Forward and reversed
+    DPs run over the substitution scores; an edge (a, b) survives iff
+    prefix + s(a,b) + suffix >= opt - subopt.
+    """
+    b = seq_a.shape[0]
+    la = la.astype(I32)
+    lb = lb.astype(I32)
+    submat = submat.astype(I32)
+
+    sub = submat[seq_a[:, :, None], seq_b[:, None, :]]  # [B, LA, LB]
+
+    # forward
+    skewed_f = skew_scores(sub, NEG_INF)
+    res_f = gotoh_scan(skewed_f, la, lb, go, ge, la_max, emit="prefix")
+    fwd = unskew(res_f.aux, la_max, lb_max)  # [B, LA+1, LB+1]
+
+    # reversed per-lane sequences (pad token N beyond the true length)
+    def rev(seq, length, size):
+        idx = jnp.clip(length[:, None] - 1 - jnp.arange(size)[None, :], 0, size - 1)
+        vals = jnp.take_along_axis(seq, idx, axis=1)
+        return jnp.where(jnp.arange(size)[None, :] < length[:, None], vals, 4)
+
+    sub_r = submat[rev(seq_a, la, la_max)[:, :, None], rev(seq_b, lb, lb_max)[:, None, :]]
+    skewed_b = skew_scores(sub_r, NEG_INF)
+    res_b = gotoh_scan(skewed_b, la, lb, go, ge, la_max, emit="prefix")
+    bwd = unskew(res_b.aux, la_max, lb_max)
+
+    opt = jnp.maximum(jnp.maximum(res_f.final_m, res_f.final_h), res_f.final_v)
+
+    # suffix(a, b) = bwd[la-1-a, lb-1-b]
+    a_idx = jnp.arange(la_max, dtype=I32)[None, :, None]
+    b_idx = jnp.arange(lb_max, dtype=I32)[None, None, :]
+    ra = jnp.clip(la[:, None, None] - 1 - a_idx, 0, la_max)
+    rb = jnp.clip(lb[:, None, None] - 1 - b_idx, 0, lb_max)
+    bwd_flat = bwd.reshape(b, -1)
+    suffix = jnp.take_along_axis(
+        bwd_flat, (ra * (lb_max + 1) + rb).reshape(b, -1), axis=1
+    ).reshape(b, la_max, lb_max)
+
+    in_bounds = (a_idx < la[:, None, None]) & (b_idx < lb[:, None, None])
+    total = fwd[:, :la_max, :lb_max] + sub + suffix
+    active = in_bounds & (total >= (opt[:, None, None] - I32(subopt)))
+    return active, opt
