@@ -1,0 +1,82 @@
+"""Device greedy matching vs. the exact Python mirror (fuzz, incl. ties)."""
+
+import numpy as np
+import pytest
+
+from lara_tpu.solver import matching_ref
+from lara_tpu.solver.matching_device import greedy_matching_batch
+
+
+def run_case(rng, n_lines, n_inter, lookahead, n_edges=64, tie_prone=True):
+    """Build a random interaction set over `n_lines` line ids; compare."""
+    lines = sorted(rng.choice(n_edges, size=n_lines, replace=False).tolist())
+    inter = set()
+    for _ in range(n_inter):
+        a, b = rng.choice(n_lines, size=2, replace=False)
+        l, m = min(lines[a], lines[b]), max(lines[a], lines[b])
+        w = int(rng.integers(0, 6)) * 2 if tie_prone else int(rng.integers(0, 10000))
+        inter.add((l, m, w))
+    inter = sorted(inter)
+    return lines, inter
+
+
+@pytest.mark.parametrize("lookahead", [1, 2, 5])
+@pytest.mark.parametrize("seed", range(6))
+def test_device_matching_matches_mirror(seed, lookahead):
+    rng = np.random.default_rng(seed * 10 + lookahead)
+    n_edges = 64
+    batch = 8
+    dcap = 24
+
+    w2 = np.zeros((batch, dcap), np.int32)
+    l_e = np.zeros((batch, dcap), np.int32)
+    m_e = np.zeros((batch, dcap), np.int32)
+    cand = np.zeros((batch, dcap), bool)
+    expected = []
+
+    for k in range(batch):
+        n_lines = int(rng.integers(2, 9))
+        n_inter = int(rng.integers(0, dcap))
+        lines, inter = run_case(rng, n_lines, n_inter, lookahead, n_edges)
+        # mirror expects per-line partner lists with (score, partner), l < m
+        partners = [[] for _ in lines]
+        for (l, m, w) in inter:
+            partners[lines.index(l)].append((w // 2, m))
+        score, contacts = matching_ref.greedy_matching(partners, lines, lookahead)
+        expected.append((score, contacts))
+        for idx, (l, m, w) in enumerate(inter):
+            w2[k, idx] = w
+            l_e[k, idx] = l
+            m_e[k, idx] = m
+            cand[k, idx] = True
+
+    out = greedy_matching_batch(w2, l_e, m_e, cand, lookahead, n_edges)
+    for k in range(batch):
+        score, contacts = expected[k]
+        assert int(out.score[k]) == score, f"lane {k}"
+        used = np.asarray(out.used_vertex[k])
+        want_used = np.zeros(n_edges, bool)
+        for v in contacts:
+            want_used[v] = True
+        np.testing.assert_array_equal(used, want_used, err_msg=f"lane {k}")
+
+
+def test_device_matching_empty():
+    out = greedy_matching_batch(
+        np.zeros((3, 4), np.int32), np.zeros((3, 4), np.int32),
+        np.zeros((3, 4), np.int32), np.zeros((3, 4), bool), 5, 16,
+    )
+    assert np.all(np.asarray(out.score) == 0)
+    assert not np.asarray(out.used_vertex).any()
+
+
+def test_device_matching_known_chain():
+    # the hand-checked chain from test_matching.py
+    w2 = np.array([[10, 10, 4]], np.int32)
+    l_e = np.array([[0, 1, 0]], np.int32)
+    m_e = np.array([[1, 2, 2]], np.int32)
+    cand = np.ones((1, 3), bool)
+    out = greedy_matching_batch(w2, l_e, m_e, cand, 5, 8)
+    assert int(out.score[0]) == 10
+    used = np.asarray(out.used_vertex[0])
+    assert used[0] and used[1] and not used[2]
