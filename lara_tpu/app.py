@@ -43,8 +43,21 @@ def load_input(params: Parameters) -> InputStorage:
     )
 
 
+def _apply_platform_env() -> None:
+    """Honour LARA_PLATFORM=cpu|tpu: the TPU plugin in some environments
+    ignores JAX_PLATFORMS, so use the config API before first backend use."""
+    import os
+
+    platform = os.environ.get("LARA_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def run(params: Parameters) -> OutputLibrary:
     time_start = time.monotonic()
+    _apply_platform_env()
     log(1, "1) Parse parameters...")
     store = load_input(params)
     outlib = OutputLibrary(store, params.out_format)

@@ -1,0 +1,214 @@
+"""Host orchestration of the batched device solver.
+
+Replaces the reference's thread/work-stealing scheduler
+(``subgradient_solver.hpp:110-207``) with TPU-shaped batching:
+
+* pairs are bucketed by padded (LA, LB) tile class (SURVEY §7: "work
+  stealing -> length-bucketed batching"),
+* each bucket chunk becomes one :func:`solve_batch` call -- a single XLA
+  program running every lane's full subgradient loop with convergence masks,
+* the edge prefilter runs on device for the whole chunk first; the packed
+  interaction models are built host-side (NumPy) from its result,
+* results are assembled into the canonical output entries; the enclosing
+  ``OutputLibrary`` restores the deterministic (seq1, seq2) order.
+
+Falls back per-pair to the scalar reference driver when a pair needs
+semantics the batched path does not cover (exact matching ``-m 0``,
+lookahead > 8).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+from lara_tpu.params import Parameters
+from lara_tpu.scoring.ribosum import encode_rna5
+from lara_tpu.solver import interactions
+from lara_tpu.solver.reference_driver import PairResult
+from lara_tpu.types import INFINITY, f2i
+from lara_tpu.utils import log
+
+#: pairs per device batch (tunable; lanes beyond the pair count are padded)
+DEFAULT_MAX_BATCH = 64
+
+
+def _round_up(value: int, quantum: int) -> int:
+    return ((value + quantum - 1) // quantum) * quantum
+
+
+def _pad_dim(length: int) -> int:
+    """Bucket quantisation: coarse enough to batch well, fine enough to not
+    waste O(L^2) work."""
+    if length <= 32:
+        return 32
+    if length <= 64:
+        return 64
+    return _round_up(length, 64)
+
+
+def solve_all(store, pairs: Sequence[Tuple[int, int]], params: Parameters
+              ) -> Iterator[PairResult]:
+    if params.matching == 0 or params.matching > 8:
+        # exact MWM / very deep lookahead: scalar path (documented fallback)
+        from lara_tpu.solver import reference_driver
+
+        log(1, "   * matching mode requires the scalar backend; using it")
+        for (ia, ib) in pairs:
+            yield reference_driver.solve_pair(store[ia], store[ib], params, (ia, ib))
+        return
+
+    buckets: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
+    for (ia, ib) in pairs:
+        key = (_pad_dim(len(store[ia].sequence)), _pad_dim(len(store[ib].sequence)))
+        buckets.setdefault(key, []).append((ia, ib))
+
+    for (la_max, lb_max), bucket_pairs in sorted(buckets.items(), reverse=True):
+        for start in range(0, len(bucket_pairs), DEFAULT_MAX_BATCH):
+            chunk = bucket_pairs[start : start + DEFAULT_MAX_BATCH]
+            yield from _solve_chunk(store, chunk, params, la_max, lb_max)
+
+
+def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
+                 ) -> Iterator[PairResult]:
+    import jax.numpy as jnp
+
+    from lara_tpu.ops import gotoh
+    from lara_tpu.solver import device_solver
+
+    b = len(chunk)
+    go, ge = int(params.gap_open_int), int(params.gap_extend_int)
+    subopt = int(f2i(params.suboptimal_diff))
+
+    seq_a = np.full((b, la_max), 4, np.int32)
+    seq_b = np.full((b, lb_max), 4, np.int32)
+    las = np.zeros(b, np.int32)
+    lbs = np.zeros(b, np.int32)
+    for k, (ia, ib) in enumerate(chunk):
+        ea = encode_rna5(store[ia].sequence)
+        eb = encode_rna5(store[ib].sequence)
+        las[k], lbs[k] = len(ea), len(eb)
+        seq_a[k, : len(ea)] = ea
+        seq_b[k, : len(eb)] = eb
+
+    log(2, f"     device chunk: {b} pairs padded to {la_max}x{lb_max}")
+    active_dev, opt_dev = gotoh.edge_filter_batch(
+        seq_a, seq_b, las, lbs, np.asarray(params.score_matrix), go, ge, subopt,
+        la_max, lb_max,
+    )
+    active_np = np.asarray(active_dev)
+    opt_np = np.asarray(opt_dev)
+
+    # host: packed interaction models
+    models = []
+    for k, (ia, ib) in enumerate(chunk):
+        models.append(
+            interactions.build_pair_model(
+                store[ia], store[ib], params,
+                active_np[k, : las[k], : lbs[k]], int(opt_np[k]),
+            )
+        )
+
+    ne = la_max * lb_max
+    dcap = max(1, max(len(m.dual_l) for m in models))
+    seq_score = np.zeros((b, la_max, lb_max), np.int32)
+    active = np.zeros((b, la_max, lb_max), bool)
+    dual_l = np.zeros((b, dcap), np.int32)
+    dual_m = np.zeros((b, dcap), np.int32)
+    sscore = np.zeros((b, dcap), np.int32)
+    rev = np.zeros((b, dcap), np.int32)
+    dvalid = np.zeros((b, dcap), bool)
+    for k, m in enumerate(models):
+        seq_score[k, : m.la, : m.lb] = m.seq_score
+        active[k, : m.la, : m.lb] = m.active
+        d = len(m.dual_l)
+        if d:
+            # remap flat edge ids from (la, lb) to padded (la_max, lb_max)
+            a_ids, b_ids = np.divmod(m.dual_l, m.lb)
+            dual_l[k, :d] = a_ids * lb_max + b_ids
+            a_ids, b_ids = np.divmod(m.dual_m, m.lb)
+            dual_m[k, :d] = a_ids * lb_max + b_ids
+            sscore[k, :d] = m.sscore
+            rev[k, :d] = m.rev
+            dvalid[k, :d] = True
+
+    batch = device_solver.BatchModel(
+        seq_score=jnp.asarray(seq_score.reshape(b, ne)),
+        active=jnp.asarray(active.reshape(b, ne)),
+        dual_l=jnp.asarray(dual_l),
+        dual_m=jnp.asarray(dual_m),
+        sscore=jnp.asarray(sscore),
+        rev=jnp.asarray(rev),
+        dvalid=jnp.asarray(dvalid),
+        la=jnp.asarray(las),
+        lb=jnp.asarray(lbs),
+    )
+
+    result = device_solver.solve_batch(
+        batch, go, ge, np.float32(params.step_size_factor),
+        la_max, lb_max, int(params.num_iterations),
+        int(params.max_nondecr_iterations), int(params.matching),
+    )
+
+    best_lines = np.asarray(result.best_lines)
+    best_nlines = np.asarray(result.best_nlines)
+    best_matched = np.asarray(result.best_matched)
+    best_lower = np.asarray(result.best_lower)
+    best_upper = np.asarray(result.best_upper)
+    iterations = np.asarray(result.iterations)
+    dual_q = np.asarray(result.dual_at_queue)
+
+    for k, (ia, ib) in enumerate(chunk):
+        n = int(best_nlines[k])
+        lines = [tuple(x) for x in best_lines[k, :n]]
+        matched = best_matched[k, :n]
+        columns = _structure_columns(
+            models[k], params, lines, matched, dual_q[k, : len(models[k].dual_l)]
+        )
+        swap = ia > ib
+        if swap:
+            columns = [(y, x, w) for (x, y, w) in columns]
+        yield PairResult(
+            seq_indices=(min(ia, ib), max(ia, ib)),
+            columns=columns,
+            score=int(best_lower[k]),
+            iterations=int(iterations[k]),
+            best_upper=int(best_upper[k]),
+            best_lower=int(best_lower[k]),
+        )
+
+
+def _structure_columns(model, params: Parameters, lines, matched, dual_q):
+    """``getStructureLines`` (``lagrange.hpp:437-487``) from device outputs."""
+    if not params.library_score_is_linear:
+        return [
+            (int(a), int(b), (500 if m else 0) + 500)
+            for (a, b), m in zip(lines, matched)
+        ]
+
+    # linear mode: per-edge top profits at the last queue-visible duals
+    ne = model.la * model.lb
+    mpp = np.full(ne, -int(INFINITY), np.int64)
+    if len(model.dual_l):
+        np.maximum.at(mpp, model.dual_l, model.sscore.astype(np.int64) + dual_q)
+    tops_all = model.seq_score.reshape(-1).astype(np.int64) + np.maximum(mpp, 0)
+    active_flat = model.active.reshape(-1)
+    tops_active = tops_all[active_flat]
+    min_score = int(tops_active.min())
+    max_score = int(tops_active.max())
+    if max_score > min_score:
+        div = np.float32(
+            np.float32(1.0)
+            * np.float32(params.library_score_max - params.library_score_min)
+            / np.float32(max_score - min_score)
+        )
+    else:
+        div = np.float32(0.0)
+    columns = []
+    for (a, b), m in zip(lines, matched):
+        top_val = int(tops_all[a * model.lb + b])
+        val = int(np.int32(np.trunc(np.float32(int(m) * (top_val - min_score)) * div)))
+        columns.append((int(a), int(b), params.library_score_min + val))
+    return columns

@@ -1,0 +1,258 @@
+"""The batched on-device subgradient solver.
+
+One ``jax.lax.while_loop`` runs the *entire* Lagrangian loop for a batch of
+pairwise problems: PSSM assembly (segment max over dual variables), the
+wavefront alignment DP, subgradient extraction, greedy matching, bound
+bookkeeping and dual updates.  Converged lanes freeze under masks; the loop
+ends when every lane converged or exhausted its iterations -- the TPU-native
+replacement for the reference's OpenMP work stealing + SIMD lane masking
+(``/root/reference/src/subgradient_solver.hpp:206-331``, ``_simd.hpp``).
+
+Numeric parity notes:
+* all profits int32; duals int32 with float32 step arithmetic and
+  trunc-toward-zero writeback (``subgradient_solver.hpp:265-271``),
+* step size = stepFactor * float(bestUpper - bestLower) / float(#subgradient
+  entries); the entry count is 2 x (number of inconsistent directed picks),
+* convergence is exact bound equality or iteration exhaustion
+  (``subgradient_solver.hpp:286``); epsilon is unused, as in the reference,
+* ``dual_at_queue`` snapshots the dual values the PSSM last reflected, which
+  is what linear-mode output weights must read (the reference skips
+  ``updateScores`` on the terminating iteration).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from lara_tpu.ops import gotoh
+from lara_tpu.solver.matching_device import greedy_matching_batch
+from lara_tpu.types import INFINITY, PSSM_INIT
+
+I32 = jnp.int32
+F32 = jnp.float32
+NEG_INF = jnp.int32(-int(INFINITY))
+
+
+class BatchModel(NamedTuple):
+    """Static per-batch problem data (padded)."""
+
+    seq_score: jax.Array   # [B, NE] int32 (flat la*lb grid padded to LA*LB)
+    active: jax.Array      # [B, NE] bool
+    dual_l: jax.Array      # [B, D] int32
+    dual_m: jax.Array      # [B, D] int32
+    sscore: jax.Array      # [B, D] int32
+    rev: jax.Array         # [B, D] int32
+    dvalid: jax.Array      # [B, D] bool
+    la: jax.Array          # [B] int32
+    lb: jax.Array          # [B] int32
+
+
+class SolveConfig(NamedTuple):
+    go: int
+    ge: int
+    num_iterations: int
+    max_nondecr: int
+    step_factor: float
+    lookahead: int         # static: greedy matching lookahead
+
+
+class BatchResult(NamedTuple):
+    best_upper: jax.Array    # [B] int32
+    best_lower: jax.Array    # [B] int32
+    best_lines: jax.Array    # [B, LCAP, 2] int32
+    best_nlines: jax.Array   # [B] int32
+    best_matched: jax.Array  # [B, LCAP] bool
+    dual_at_queue: jax.Array  # [B, D] int32
+    iterations: jax.Array    # [B] int32
+
+
+class _Carry(NamedTuple):
+    dual: jax.Array
+    dual_at_queue: jax.Array
+    step_factor: jax.Array
+    nondecr: jax.Array
+    remaining: jax.Array
+    lane_active: jax.Array
+    best_lower: jax.Array
+    best_upper: jax.Array
+    best_score: jax.Array
+    best_lines: jax.Array
+    best_nlines: jax.Array
+    best_matched: jax.Array
+    iterations: jax.Array
+
+
+@functools.partial(
+    jax.jit, static_argnames=("la_max", "lb_max", "num_iterations", "max_nondecr", "lookahead")
+)
+def solve_batch(
+    model: BatchModel,
+    go,
+    ge,
+    step_factor0,
+    la_max: int,
+    lb_max: int,
+    num_iterations: int,
+    max_nondecr: int,
+    lookahead: int,
+) -> BatchResult:
+    b, ne = model.seq_score.shape
+    d = model.dual_l.shape[1]
+    lcap = min(la_max, lb_max)
+    go = I32(go)
+    ge = I32(ge)
+
+    lane = jnp.arange(b, dtype=I32)
+    batch_offset = (lane * ne)[:, None]
+
+    carry0 = _Carry(
+        dual=jnp.zeros((b, d), I32),
+        dual_at_queue=jnp.zeros((b, d), I32),
+        step_factor=jnp.full((b,), step_factor0, F32),
+        nondecr=jnp.zeros((b,), I32),
+        remaining=jnp.full((b,), num_iterations, I32),
+        lane_active=jnp.ones((b,), bool),
+        best_lower=jnp.full((b,), NEG_INF, I32),
+        best_upper=jnp.full((b,), -NEG_INF, I32),
+        best_score=jnp.full((b,), NEG_INF, I32),
+        best_lines=jnp.full((b, lcap, 2), -1, I32),
+        best_nlines=jnp.zeros((b,), I32),
+        best_matched=jnp.zeros((b, lcap), bool),
+        iterations=jnp.zeros((b,), I32),
+    )
+
+    def take(arr2d, idx):
+        return jnp.take_along_axis(arr2d, idx, axis=1)
+
+    def body(c: _Carry) -> _Carry:
+        act = c.lane_active
+        dual_at_queue = jnp.where(act[:, None], c.dual, c.dual_at_queue)
+
+        # ---- PSSM: segment max over duals (priority-queue replacement) ----
+        profits = model.sscore + c.dual
+        masked = jnp.where(model.dvalid, profits, NEG_INF)
+        flat_idx = (model.dual_l + batch_offset).reshape(-1)
+        mpp = jnp.full((b * ne,), NEG_INF, I32).at[flat_idx].max(
+            masked.reshape(-1)).reshape(b, ne)
+        pssm = jnp.where(
+            model.active, model.seq_score + jnp.maximum(mpp, 0), I32(PSSM_INIT)
+        ).reshape(b, la_max, lb_max)
+
+        # ---- relaxed problem: wavefront DP + traceback ----
+        tb = gotoh.align_pssm_batch(pssm, model.la, model.lb, go, ge, la_max, lb_max)
+        upper = tb.upper
+
+        # ---- current solution as a dense edge set ----
+        k_idx = jnp.arange(lcap, dtype=I32)[None, :]
+        line_valid = k_idx < tb.n_lines[:, None]
+        line_edges = jnp.clip(tb.lines[:, :, 0] * lb_max + tb.lines[:, :, 1], 0, ne - 1)
+        in_sol = jnp.zeros((b * ne,), bool).at[
+            (line_edges + batch_offset).reshape(-1)
+        ].max(line_valid.reshape(-1)).reshape(b, ne)
+
+        seq_part = jnp.sum(jnp.where(in_sol, model.seq_score, 0), axis=1)
+
+        # ---- subgradients (lagrange.hpp:343-374) ----
+        mpp_l = take(mpp, model.dual_l)
+        mpp_m = take(mpp, model.dual_m)
+        l_in = take(in_sol, model.dual_l)
+        m_in = take(in_sol, model.dual_m)
+        profit_rev = take(profits, model.rev)
+        pick = model.dvalid & l_in & (mpp_l >= 0) & (profits == mpp_l)
+        cycle = m_in & (mpp_m >= 0) & (profit_rev == mpp_m)
+        sg_pos = pick & ~cycle
+        sg = sg_pos.astype(I32) - take(sg_pos, model.rev).astype(I32)
+        count = 2 * jnp.sum(sg_pos, axis=1).astype(I32)
+        any_sg = count > 0
+
+        # ---- consistent branch (lagrange.hpp:397-409) ----
+        # top queue entry per edge: max profit, tie -> smallest partner id,
+        # with the self entry at profit 0 / partner id == own edge id.
+        m_top = jnp.full((b * ne,), ne, I32).at[flat_idx].min(
+            jnp.where(model.dvalid & (profits == mpp_l), model.dual_m, ne).reshape(-1)
+        ).reshape(b, ne)
+        edge_ids = jnp.arange(ne, dtype=I32)[None, :]
+        top_is_self = (mpp < 0) | ((mpp == 0) & (edge_ids < m_top))
+        top_not_self = in_sol & ~top_is_self
+        tis_l = take(top_is_self, model.dual_l)
+        m_top_l = take(m_top, model.dual_l)
+        contrib = model.dvalid & l_in & ~tis_l & (profits == mpp_l) & (model.dual_m == m_top_l)
+        consistent_sum = jnp.sum(jnp.where(contrib, model.sscore, 0), axis=1)
+        matched_m = jnp.zeros((b * ne,), bool).at[
+            (model.dual_m + batch_offset).reshape(-1)
+        ].max(contrib.reshape(-1)).reshape(b, ne)
+        matched_cons = in_sol & (top_not_self | matched_m)
+
+        # ---- matching branch (lagrange.hpp:380-395) ----
+        cand = model.dvalid & l_in & m_in & (model.dual_l < model.dual_m) \
+            & any_sg[:, None] & act[:, None]
+        match_res = greedy_matching_batch(
+            2 * model.sscore, model.dual_l, model.dual_m, cand, lookahead, ne
+        )
+        matched_edge = jnp.where(any_sg[:, None], match_res.used_vertex & in_sol,
+                                 matched_cons)
+        struct_part = jnp.where(any_sg, match_res.score.astype(I32), consistent_sum)
+
+        lower = seq_part + struct_part + tb.gap_score
+
+        # ---- best primal tracking (lagrange.hpp:416-421) ----
+        better = act & (lower > c.best_score)
+        line_matched = take(matched_edge, line_edges) & line_valid
+        best_score = jnp.where(better, lower, c.best_score)
+        best_lines = jnp.where(better[:, None, None], tb.lines, c.best_lines)
+        best_nlines = jnp.where(better, tb.n_lines, c.best_nlines)
+        best_matched = jnp.where(better[:, None], line_matched, c.best_matched)
+
+        # ---- bound bookkeeping (subgradient_solver.hpp:247-263) ----
+        improved_u = act & (upper < c.best_upper)
+        improved_l = act & (lower > c.best_lower)
+        best_upper = jnp.where(improved_u, upper, c.best_upper)
+        best_lower = jnp.where(improved_l, lower, c.best_lower)
+        nondecr = jnp.where(improved_u | improved_l, 0, c.nondecr)
+        halve = act & (nondecr >= max_nondecr)
+        step_factor = jnp.where(halve, c.step_factor / F32(2.0), c.step_factor)
+        nondecr = jnp.where(act, jnp.where(halve, 0, nondecr + 1), c.nondecr)
+
+        # ---- dual update (subgradient_solver.hpp:265-271) ----
+        step = step_factor * (best_upper - best_lower).astype(F32) / \
+            jnp.maximum(count, 1).astype(F32)
+        upd = act[:, None] & (sg != 0)
+        new_dual = (c.dual.astype(F32) - step[:, None] * sg.astype(F32)).astype(I32)
+        dual = jnp.where(upd, new_dual, c.dual)
+
+        remaining = jnp.where(act, c.remaining - 1, c.remaining)
+        done_now = act & ((best_upper == best_lower) | (remaining == 0))
+
+        return _Carry(
+            dual=dual,
+            dual_at_queue=dual_at_queue,
+            step_factor=step_factor,
+            nondecr=nondecr,
+            remaining=remaining,
+            lane_active=act & ~done_now,
+            best_lower=best_lower,
+            best_upper=best_upper,
+            best_score=best_score,
+            best_lines=best_lines,
+            best_nlines=best_nlines,
+            best_matched=best_matched,
+            iterations=c.iterations + act.astype(I32),
+        )
+
+    def cond(c: _Carry):
+        return jnp.any(c.lane_active)
+
+    final = jax.lax.while_loop(cond, body, carry0)
+    return BatchResult(
+        best_upper=final.best_upper,
+        best_lower=final.best_lower,
+        best_lines=final.best_lines,
+        best_nlines=final.best_nlines,
+        best_matched=final.best_matched,
+        dual_at_queue=final.dual_at_queue,
+        iterations=final.iterations,
+    )

@@ -1,0 +1,140 @@
+"""Host-side construction of the packed per-pair Lagrange model.
+
+The reference builds per-edge priority queues and hash maps
+(``/root/reference/src/lagrange.hpp:229-310``).  The TPU-native layout is a
+flat array of *directed dual variables*: one entry per ordered pair of
+interacting alignment edges (l -> m), carrying
+
+* ``dual_l`` / ``dual_m``: flat alignment-edge ids (a * LB + b),
+* ``sscore``: the structural profit (``lagrange.hpp:289``),
+* ``rev``: the index of the opposite direction (m -> l), which always exists
+  because adjacency and the non-crossing predicate are symmetric.
+
+On device, "max profit partner per edge" becomes a segment max over
+``dual_l`` -- recompute beats incremental priority-queue surgery on a vector
+machine (SURVEY §7).
+
+Construction order is edge-major like the reference loop; order only affects
+internal dual numbering, never results (ties are resolved by partner edge id,
+not dual id).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+from lara_tpu.io.records import RnaRecord
+from lara_tpu.params import Parameters
+from lara_tpu.scoring.ribosum import encode_rna5
+from lara_tpu.types import contact_weight_to_int, seq_scale_factor
+
+
+@dataclass
+class PairModel:
+    la: int
+    lb: int
+    seq_a: np.ndarray      # [la] int8 Rna5 ranks
+    seq_b: np.ndarray
+    active: np.ndarray     # [la, lb] bool (edge filter result)
+    seq_score: np.ndarray  # [la, lb] int32 scaled sequence profits
+    dual_l: np.ndarray     # [D] int32
+    dual_m: np.ndarray     # [D] int32
+    sscore: np.ndarray     # [D] int32
+    rev: np.ndarray        # [D] int32
+
+
+def adjacency_arrays(record: RnaRecord, length: int, precise: bool):
+    """Padded adjacency: partners [length, K] (pad -1) and weights [length, K].
+
+    Weights carry the reference's int truncation (``Contact`` holds int32,
+    ``data_types.hpp:70``) unless ``precise`` is set.
+    """
+    adj: List[List[Tuple[int, float]]] = [[] for _ in range(length)]
+    for (i, j, w) in record.structure_edges:
+        weight = float(w) if precise else float(contact_weight_to_int(w))
+        adj[i].append((j, weight))
+        adj[j].append((i, weight))
+    k_max = max((len(a) for a in adj), default=0)
+    k_max = max(k_max, 1)
+    partners = np.full((length, k_max), -1, dtype=np.int32)
+    weights = np.zeros((length, k_max), dtype=np.float32)
+    for i, lst in enumerate(adj):
+        for k, (j, w) in enumerate(lst):
+            partners[i, k] = j
+            weights[i, k] = w
+    return partners, weights
+
+
+def build_pair_model(
+    rec_a: RnaRecord,
+    rec_b: RnaRecord,
+    params: Parameters,
+    active: np.ndarray,
+    opt_score: int,
+) -> PairModel:
+    """Vectorized equivalent of the ``Lagrange`` constructor body, given the
+    edge-filter result."""
+    seq_a = encode_rna5(rec_a.sequence).astype(np.int32)
+    seq_b = encode_rna5(rec_b.sequence).astype(np.int32)
+    la, lb = len(seq_a), len(seq_b)
+
+    from lara_tpu.types import av_seq_id
+
+    scale = seq_scale_factor(params.sequence_scale, av_seq_id(opt_score, la, lb))
+    mat = np.asarray(params.score_matrix, dtype=np.int32)[seq_a[:, None], seq_b[None, :]]
+    seq_score = np.trunc(np.float32(scale) * mat.astype(np.float32)).astype(np.int32)
+
+    pa, wa = adjacency_arrays(rec_a, la, params.precise_bpp)
+    pb, wb = adjacency_arrays(rec_b, lb, params.precise_bpp)
+    ka, kb = pa.shape[1], pb.shape[1]
+
+    # enumerate candidates in edge-major, (head, tail)-contact order
+    act = np.ascontiguousarray(active, dtype=bool)
+    a_ids, b_ids = np.nonzero(act)
+    e_count = len(a_ids)
+    if e_count == 0:
+        empty = np.zeros(0, dtype=np.int32)
+        return PairModel(la, lb, seq_a, seq_b, act, seq_score,
+                         empty, empty, empty, empty)
+
+    # [E, KA, KB] candidate partner coordinates
+    a2 = pa[a_ids][:, :, None]                      # [E, KA, 1]
+    b2 = pb[b_ids][:, None, :]                      # [E, 1, KB]
+    w_head = wa[a_ids][:, :, None]
+    w_tail = wb[b_ids][:, None, :]
+    a1 = a_ids[:, None, None]
+    b1 = b_ids[:, None, None]
+
+    valid = (a2 >= 0) & (b2 >= 0)
+    a2c = np.clip(a2, 0, la - 1)
+    b2c = np.clip(b2, 0, lb - 1)
+    valid &= act[a2c, b2c]
+    non_crossing = ((a1 < a2c) & (b1 < b2c)) | ((a2c < a1) & (b2c < b1))
+    valid &= non_crossing
+
+    flat_valid = valid.reshape(e_count, ka * kb)
+    sel = np.nonzero(flat_valid.reshape(-1))[0]
+    l_edge = (np.repeat(a_ids * lb + b_ids, ka * kb))[sel].astype(np.int32)
+    m_edge = (a2c * lb + b2c).reshape(-1)[sel].astype(np.int32)
+
+    # structScore = trunc(balance * (head + tail) / 2 * 8192) in float32
+    ssum = (w_head + w_tail).reshape(-1)[sel].astype(np.float32)
+    sscore = np.trunc(
+        np.float32(params.balance) * ssum / np.float32(2.0) * np.float32(8192.0)
+    ).astype(np.int32)
+
+    # reverse index: (m, l) always exists
+    order = np.lexsort((m_edge, l_edge))  # construction order is already sorted
+    keys_lm = l_edge.astype(np.int64) * (la * lb) + m_edge
+    keys_ml = m_edge.astype(np.int64) * (la * lb) + l_edge
+    sorted_keys = keys_lm[order]
+    pos = np.searchsorted(sorted_keys, keys_ml)
+    rev = order[pos].astype(np.int32)
+    assert np.array_equal(l_edge[rev], m_edge) and np.array_equal(m_edge[rev], l_edge), \
+        "interaction table is not symmetric"
+
+    return PairModel(la, lb, seq_a, seq_b, act, seq_score,
+                     l_edge, m_edge, sscore, rev)

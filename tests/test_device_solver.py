@@ -1,0 +1,122 @@
+"""Device backend vs. scalar reference mirror: bit-identical outputs."""
+
+import numpy as np
+import pytest
+
+from lara_tpu.io.records import InputStorage
+from lara_tpu.io.writers import OutputLibrary
+from lara_tpu.params import Parameters
+from lara_tpu.solver import interactions, reference_driver
+
+
+def write_family(tmp_path, n=5, seed=0):
+    """A small synthetic RNA family: related hairpins with noisy loops."""
+    rng = np.random.default_rng(seed)
+    base = "GGGCGCAAGCCUUAAGGCGCCC"
+    struct = "((((((....))))..((..))"  # deliberately quirky, len 22
+    base_struct = "(((((((......))))))).."
+    lines = []
+    for k in range(n):
+        seq = list(base)
+        # mutate a few loop positions
+        for _ in range(rng.integers(1, 4)):
+            pos = int(rng.integers(0, len(seq)))
+            seq[pos] = "ACGU"[rng.integers(0, 4)]
+        # occasionally shorten
+        if k % 2 == 1:
+            seq = seq[:-2]
+            st = base_struct[: len(seq) - 2] + ".."
+        else:
+            st = base_struct
+        st = st[: len(seq)]
+        # repair unbalanced brackets after truncation
+        opens = st.count("(") - st.count(")")
+        if opens > 0:
+            st = st.replace("(", ".", opens)
+        lines.append(f">seq{k}\n{''.join(seq)}\n{st}")
+    path = tmp_path / "family.dbn"
+    path.write_text("\n".join(lines) + "\n")
+    return str(path)
+
+
+def run_backend(path, backend, **kw):
+    params = Parameters(in_file=path, backend=backend, **kw)
+    store = InputStorage(in_file=path)
+    lib = OutputLibrary(store, params.out_format)
+    from lara_tpu.app import enumerate_pairs
+
+    pairs = enumerate_pairs(store)
+    if backend == "reference":
+        for (ia, ib) in pairs:
+            res = reference_driver.solve_pair(store[ia], store[ib], params, (ia, ib))
+            lib.add_alignment(res.seq_indices, res.columns, res.score)
+    else:
+        from lara_tpu.solver import device_driver
+
+        for res in device_driver.solve_all(store, pairs, params):
+            lib.add_alignment(res.seq_indices, res.columns, res.score)
+    return lib.to_string()
+
+
+def test_pair_model_matches_reference_build(tmp_path):
+    path = write_family(tmp_path, n=3, seed=1)
+    store = InputStorage(in_file=path)
+    params = Parameters(in_file=path)
+    state = reference_driver.build_lagrange(store[0], store[1], params)
+    model = interactions.build_pair_model(
+        store[0], store[1], params,
+        np.asarray(state.active), _opt_score(store, params, 0, 1),
+    )
+    np.testing.assert_array_equal(model.seq_score, state.seq_score)
+    # same dual set (order may differ between builders)
+    ref_set = sorted(zip(state.dual_l.tolist(), state.dual_m.tolist(),
+                         state.sscore.tolist()))
+    got_set = sorted(zip(model.dual_l.tolist(), model.dual_m.tolist(),
+                         model.sscore.tolist()))
+    assert ref_set == got_set
+    # rev is a consistent involution
+    assert np.array_equal(model.dual_l[model.rev], model.dual_m)
+    assert np.array_equal(model.rev[model.rev], np.arange(len(model.rev)))
+
+
+def _opt_score(store, params, ia, ib):
+    from lara_tpu.scoring.ribosum import encode_rna5
+    from lara_tpu.solver import oracle
+    from lara_tpu.types import f2i
+
+    _active, opt = oracle.generate_edges(
+        encode_rna5(store[ia].sequence), encode_rna5(store[ib].sequence),
+        params.score_matrix, int(params.gap_open_int), int(params.gap_extend_int),
+        int(f2i(params.suboptimal_diff)),
+    )
+    return opt
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_device_backend_matches_reference_lib(tmp_path, seed):
+    path = write_family(tmp_path, n=4, seed=seed)
+    ref = run_backend(path, "reference", num_iterations=60)
+    dev = run_backend(path, "device", num_iterations=60)
+    assert dev == ref
+
+
+def test_device_backend_matches_reference_linear_libscore(tmp_path):
+    path = write_family(tmp_path, n=3, seed=5)
+    common = dict(num_iterations=60, library_score_min=0, library_score_max=100,
+                  library_score_is_linear=True)
+    ref = run_backend(path, "reference", **common)
+    dev = run_backend(path, "device", **common)
+    assert dev == ref
+
+
+def test_device_backend_conflicting_structures(tmp_path):
+    # forces the subgradient + matching path over many iterations
+    path = tmp_path / "conflict.dbn"
+    path.write_text(
+        ">x\nGGGAAAGGGAAACCCAAACCC\n(((...(((...)))...)))\n"
+        ">y\nGGGAAAGGGAAACCCAAACCC\n(((...)))...(((...)))\n"
+        ">z\nGGGAAAGGGAAACCCAAACC\n((....((....))....))\n"
+    )
+    ref = run_backend(str(path), "reference", num_iterations=80)
+    dev = run_backend(str(path), "device", num_iterations=80)
+    assert dev == ref
