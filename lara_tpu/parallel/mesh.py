@@ -1,0 +1,120 @@
+"""Multi-chip execution: data-parallel sharding of the pair batch.
+
+The reference's only parallelism is shared-memory threads + SIMD lanes over
+independent pairwise problems (SURVEY §2); there is nothing to communicate
+during a solve.  The TPU-native scaling story is therefore pure data
+parallelism over a 1-D device mesh:
+
+* the batch dimension of :class:`~lara_tpu.solver.device_solver.BatchModel`
+  is sharded over the ``pairs`` axis with ``jax.shard_map``,
+* each device runs its *own* ``while_loop`` over its shard -- no cross-device
+  synchronisation at all, so a device whose lanes converge early goes idle
+  instead of lock-stepping with the slowest shard (unlike a pjit'd global
+  loop, whose ``any(active)`` condition would all-reduce every iteration),
+* per-pair results are gathered to the host and merged into the canonically
+  sorted library, preserving the reference's determinism guarantee
+  (``io.hpp:372``, SURVEY §3.5).
+
+Multi-host pods extend this transparently: ``jax.distributed.initialize`` +
+the same mesh over all devices; each host feeds its addressable shard.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lara_tpu.solver import device_solver
+
+
+def pair_mesh(devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), ("pairs",))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_solver(mesh: Mesh, la_max: int, lb_max: int, num_iterations: int,
+                    max_nondecr: int, lookahead: int):
+    """Build the sharded solve function for one static configuration."""
+
+    def impl(model, go, ge, step0):
+        return device_solver.solve_batch(
+            model, go, ge, step0, la_max, lb_max, num_iterations,
+            max_nondecr, lookahead,
+        )
+
+    shard = jax.shard_map(
+        impl,
+        mesh=mesh,
+        in_specs=(
+            device_solver.BatchModel(
+                seq_score=P("pairs"), active=P("pairs"),
+                dual_l=P("pairs"), dual_m=P("pairs"), sscore=P("pairs"),
+                rev=P("pairs"), dvalid=P("pairs"), la=P("pairs"), lb=P("pairs"),
+            ),
+            P(), P(), P(),
+        ),
+        out_specs=device_solver.BatchResult(
+            best_upper=P("pairs"), best_lower=P("pairs"),
+            best_lines=P("pairs"), best_nlines=P("pairs"),
+            best_matched=P("pairs"), dual_at_queue=P("pairs"),
+            iterations=P("pairs"),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+def solve_batch_sharded(
+    model: device_solver.BatchModel,
+    go: int,
+    ge: int,
+    step0,
+    la_max: int,
+    lb_max: int,
+    num_iterations: int,
+    max_nondecr: int,
+    lookahead: int,
+    mesh: Optional[Mesh] = None,
+) -> device_solver.BatchResult:
+    """Shard the batch over all devices; pads the batch to a multiple of the
+    mesh size with dummy lanes (la=lb=1, empty models) that converge in one
+    iteration."""
+    mesh = mesh if mesh is not None else pair_mesh()
+    n_dev = mesh.devices.size
+    b = model.seq_score.shape[0]
+    pad = (-b) % n_dev
+    if pad:
+        model = pad_batch(model, pad)
+    fn = _sharded_solver(mesh, la_max, lb_max, num_iterations, max_nondecr, lookahead)
+    import jax.numpy as jnp
+
+    result = fn(model, jnp.int32(go), jnp.int32(ge), jnp.float32(step0))
+    if pad:
+        result = jax.tree.map(lambda x: x[:b], result)
+    return result
+
+
+def pad_batch(model: device_solver.BatchModel, pad: int) -> device_solver.BatchModel:
+    """Append `pad` trivial lanes (1x1 problems, no interactions)."""
+    import jax.numpy as jnp
+
+    def ext(arr, fill=0):
+        pad_block = jnp.full((pad,) + arr.shape[1:], fill, arr.dtype)
+        return jnp.concatenate([arr, pad_block], axis=0)
+
+    return device_solver.BatchModel(
+        seq_score=ext(model.seq_score),
+        active=ext(model.active, False),
+        dual_l=ext(model.dual_l),
+        dual_m=ext(model.dual_m),
+        sscore=ext(model.sscore),
+        rev=ext(model.rev),
+        dvalid=ext(model.dvalid, False),
+        la=ext(model.la, 1),
+        lb=ext(model.lb, 1),
+    )

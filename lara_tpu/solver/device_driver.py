@@ -113,13 +113,23 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
 
     ne = la_max * lb_max
     dcap = max(1, max(len(m.dual_l) for m in models))
-    seq_score = np.zeros((b, la_max, lb_max), np.int32)
-    active = np.zeros((b, la_max, lb_max), bool)
-    dual_l = np.zeros((b, dcap), np.int32)
-    dual_m = np.zeros((b, dcap), np.int32)
-    sscore = np.zeros((b, dcap), np.int32)
-    rev = np.zeros((b, dcap), np.int32)
-    dvalid = np.zeros((b, dcap), bool)
+    # quantise the dual capacity and the batch so compiled programs are
+    # reused across chunks (recompiles dominated the TPU wall-clock otherwise)
+    dcap = 1 << (dcap - 1).bit_length()
+    import jax
+
+    n_dev = len(jax.devices())
+    bp = 1 << (max(b, n_dev if (n_dev > 1 and b > 1) else 1) - 1).bit_length()
+
+    seq_score = np.zeros((bp, la_max, lb_max), np.int32)
+    active = np.zeros((bp, la_max, lb_max), bool)
+    dual_l = np.zeros((bp, dcap), np.int32)
+    dual_m = np.zeros((bp, dcap), np.int32)
+    sscore = np.zeros((bp, dcap), np.int32)
+    rev = np.zeros((bp, dcap), np.int32)
+    dvalid = np.zeros((bp, dcap), bool)
+    las = np.concatenate([las, np.ones(bp - b, np.int32)])
+    lbs = np.concatenate([lbs, np.ones(bp - b, np.int32)])
     for k, m in enumerate(models):
         seq_score[k, : m.la, : m.lb] = m.seq_score
         active[k, : m.la, : m.lb] = m.active
@@ -135,8 +145,8 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
             dvalid[k, :d] = True
 
     batch = device_solver.BatchModel(
-        seq_score=jnp.asarray(seq_score.reshape(b, ne)),
-        active=jnp.asarray(active.reshape(b, ne)),
+        seq_score=jnp.asarray(seq_score.reshape(bp, ne)),
+        active=jnp.asarray(active.reshape(bp, ne)),
         dual_l=jnp.asarray(dual_l),
         dual_m=jnp.asarray(dual_m),
         sscore=jnp.asarray(sscore),
@@ -146,11 +156,22 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
         lb=jnp.asarray(lbs),
     )
 
-    result = device_solver.solve_batch(
-        batch, go, ge, np.float32(params.step_size_factor),
-        la_max, lb_max, int(params.num_iterations),
-        int(params.max_nondecr_iterations), int(params.matching),
-    )
+    import jax
+
+    if len(jax.devices()) > 1 and b > 1:
+        from lara_tpu.parallel import mesh as mesh_mod
+
+        result = mesh_mod.solve_batch_sharded(
+            batch, go, ge, np.float32(params.step_size_factor),
+            la_max, lb_max, int(params.num_iterations),
+            int(params.max_nondecr_iterations), int(params.matching),
+        )
+    else:
+        result = device_solver.solve_batch(
+            batch, go, ge, np.float32(params.step_size_factor),
+            la_max, lb_max, int(params.num_iterations),
+            int(params.max_nondecr_iterations), int(params.matching),
+        )
 
     best_lines = np.asarray(result.best_lines)
     best_nlines = np.asarray(result.best_nlines)
