@@ -133,11 +133,18 @@ def exact_matching(
             edges.append((int(line), int(partner), 2 * int(score)))
     if not edges:
         return 0, contacts
+    native_ok = False
     try:
-        from lara_tpu.native import blossom  # C++ extension, if built
+        from lara_tpu.native import NativeBuildError, blossom
 
-        total, pairs = blossom.max_weight_matching(edges)
+        try:
+            total, pairs = blossom.max_weight_matching(edges)
+            native_ok = True
+        except NativeBuildError:
+            pass
     except ImportError:
+        pass
+    if not native_ok:
         import networkx as nx
 
         graph = nx.Graph()
