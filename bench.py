@@ -52,12 +52,13 @@ def make_family(n=12, length=72, seed=7):
 
 
 def main():
-    from lara_tpu.app import enumerate_pairs
+    from lara_tpu.app import _apply_platform_env, enumerate_pairs
     from lara_tpu.params import Parameters
     from lara_tpu.solver import device_driver, reference_driver
 
+    _apply_platform_env()  # persistent compile cache
     params = Parameters(in_file="<bench>")
-    store = make_family()
+    store = make_family(n=32)
     pairs = enumerate_pairs(store)
 
     # --- device backend (includes host model build; excludes compile) ---

@@ -44,15 +44,28 @@ def load_input(params: Parameters) -> InputStorage:
 
 
 def _apply_platform_env() -> None:
-    """Honour LARA_PLATFORM=cpu|tpu: the TPU plugin in some environments
-    ignores JAX_PLATFORMS, so use the config API before first backend use."""
+    """Honour LARA_PLATFORM=cpu|tpu (the TPU plugin in some environments
+    ignores JAX_PLATFORMS, so use the config API before first backend use)
+    and enable the persistent compilation cache: the solver is one large XLA
+    program + Mosaic kernels whose first compile costs minutes, so CLI
+    processes must reuse compiles across runs."""
     import os
+
+    import jax
 
     platform = os.environ.get("LARA_PLATFORM")
     if platform:
-        import jax
-
         jax.config.update("jax_platforms", platform)
+
+    cache_dir = os.environ.get(
+        "LARA_JAX_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "lara_tpu_jax")
+    )
+    if cache_dir != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass  # older jax without these flags
 
 
 def run(params: Parameters) -> OutputLibrary:

@@ -1,0 +1,396 @@
+"""Pallas TPU kernel for the batched anti-diagonal Gotoh wavefront DP.
+
+Same semantics as :func:`lara_tpu.ops.gotoh.gotoh_scan` (``emit='dirs'``) --
+the per-iteration hot op (``subgradient_solver.hpp:223-225``) -- but as a
+Mosaic kernel: the XLA ``lax.scan`` pays ~15us of loop overhead per
+anti-diagonal for only a few KB of vector work, which dominates the solve
+at tRNA scale.  Here the diagonal sweep is the *grid*:
+
+* grid = (batch_blocks, num_diagonals); the diagonal axis is the fastest
+  (sequential) dimension, so the M/H/V wavefronts live in VMEM scratch and
+  persist across grid steps while Pallas double-buffers the per-diagonal
+  skewed-score block HBM->VMEM.
+* each grid step is pure VPU work on an int32 [BB, W] tile (W padded to a
+  lane multiple), writing the packed traceback directions for that diagonal.
+* the terminal cell (la, lb) of every lane is captured with a one-hot mask
+  into scratch and reduced into the finals output on the last diagonal.
+
+The traceback itself stays in XLA (:func:`lara_tpu.ops.gotoh.traceback`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lara_tpu.ops.gotoh import MAT, HOR, VER
+from lara_tpu.types import PSSM_INIT
+
+I32 = jnp.int32
+NEG_INF = -1431655764  # python int: jnp scalars would be captured consts
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _make_kernel(dchunk: int):
+    def _kernel(params_ref, skewed_ref, la_ref, lb_ref, dirs_ref, finals_ref,
+                st_ref, fin_ref):
+        """``dchunk`` anti-diagonal steps for one batch block per grid step
+        (amortizes grid/DMA overhead over several tiny diagonal updates).
+
+        st_ref: [6, BB, W] scratch -- M/H/V wavefronts at d-1 (rows 0-2) and
+        d-2 (rows 3-5).  fin_ref: [3, BB, W] scratch -- one-hot captured
+        terminal M/H/V values.
+        """
+        dblk = pl.program_id(1)
+        num_blocks = pl.num_programs(1)
+        go = params_ref[0, 0]
+        ge = params_ref[0, 1]
+
+        _, bb, w = skewed_ref.shape
+        col = jax.lax.broadcasted_iota(I32, (bb, w), dimension=1)
+
+        @pl.when(dblk == 0)
+        def _init():
+            st_ref[...] = jnp.full((6, bb, w), NEG_INF, I32)
+            fin_ref[...] = jnp.full((3, bb, w), NEG_INF, I32)
+
+        m1 = st_ref[0]
+        h1 = st_ref[1]
+        v1 = st_ref[2]
+        m2 = st_ref[3]
+        h2 = st_ref[4]
+        v2 = st_ref[5]
+        la = la_ref[...]  # [BB, 1]
+        lb = lb_ref[...]
+        fin0 = fin_ref[0]
+        fin1 = fin_ref[1]
+        fin2 = fin_ref[2]
+
+        def shift(x):
+            # offset +1 along the diagonal axis (i-1 lookup), NEG_INF fill
+            return jnp.where(col == 0, NEG_INF, pltpu.roll(x, shift=1, axis=1))
+
+        for t in range(dchunk):
+            d = dblk * dchunk + t
+            t_row = skewed_ref[t]
+
+            # M from diagonal d-2 at i-1
+            m2s, h2s, v2s = shift(m2), shift(h2), shift(v2)
+            best_prev = jnp.maximum(jnp.maximum(m2s, h2s), v2s)
+            m_new = best_prev + t_row
+            mdir = jnp.where(m2s == best_prev, MAT,
+                             jnp.where(h2s == best_prev, HOR, VER))
+
+            # H from diagonal d-1 at same i (cell (i, j-1)); prefer extension
+            hh, hm, hv = h1 + ge, m1 + go, v1 + go
+            h_new = jnp.maximum(jnp.maximum(hh, hm), hv)
+            hdir = jnp.where(hh == h_new, HOR, jnp.where(hm == h_new, MAT, VER))
+
+            # V from diagonal d-1 at i-1 (cell (i-1, j)); prefer extension
+            m1s, h1s, v1s = shift(m1), shift(h1), shift(v1)
+            vv, vm, vh = v1s + ge, m1s + go, h1s + go
+            v_new = jnp.maximum(jnp.maximum(vv, vm), vh)
+            vdir = jnp.where(vv == v_new, VER, jnp.where(vm == v_new, MAT, HOR))
+
+            # border overrides: cell (0, d) and cell (d, 0)
+            bg = jnp.where(d == 0, I32(0), go + ge * (d - 1))
+            top = col == 0
+            left = col == d
+            m_new = jnp.where(top | left, bg, m_new)
+            h_new = jnp.where(top, jnp.where(d == 0, NEG_INF, bg),
+                              jnp.where(left, NEG_INF, h_new))
+            v_new = jnp.where(left, jnp.where(d == 0, NEG_INF, bg),
+                              jnp.where(top, NEG_INF, v_new))
+
+            dirs_ref[t] = mdir | (hdir << 2) | (vdir << 4)
+
+            # capture terminal cell (la, lb) on its diagonal
+            sel = (col == la) & (d == la + lb)
+            fin0 = jnp.where(sel, m_new, fin0)
+            fin1 = jnp.where(sel, h_new, fin1)
+            fin2 = jnp.where(sel, v_new, fin2)
+
+            m2, h2, v2 = m1, h1, v1
+            m1, h1, v1 = m_new, h_new, v_new
+
+        st_ref[0] = m1
+        st_ref[1] = h1
+        st_ref[2] = v1
+        st_ref[3] = m2
+        st_ref[4] = h2
+        st_ref[5] = v2
+        fin_ref[0] = fin0
+        fin_ref[1] = fin1
+        fin_ref[2] = fin2
+
+        @pl.when(dblk == num_blocks - 1)
+        def _emit_finals():
+            finals_ref[0] = jnp.max(fin0, axis=1, keepdims=True)
+            finals_ref[1] = jnp.max(fin1, axis=1, keepdims=True)
+            finals_ref[2] = jnp.max(fin2, axis=1, keepdims=True)
+
+    return _kernel
+
+
+def _make_traceback_kernel(dchunk: int, num_blocks: int):
+    def _kernel(params_ref, dirs_ref, finals_ref, la_ref, lb_ref,
+                partner_ref, scalars_ref, st_ref, pa_ref):
+        """Reverse diagonal sweep: each grid step walks ``dchunk`` diagonals
+        of the traceback for one batch block.  The per-lane walker state is
+        scalar-per-lane vectors ([BB, 1]); the current cell is addressed by
+        comparing a column iota against the walker's ``i`` -- no dynamic
+        indexing anywhere.  Matched lines are emitted as a dense partner map
+        ``partner[a] = b`` (a = seq-A position), compacted to an ordered line
+        list outside the kernel.
+
+        st_ref: [8, BB, 1] scratch -- cur_d, i, state, gap, cnt, upper.
+        pa_ref: [BB, W] scratch -- partner accumulator.
+        """
+        t = pl.program_id(1)
+        go = params_ref[0, 0]
+        ge = params_ref[0, 1]
+        _, bb, w = dirs_ref.shape
+        col = jax.lax.broadcasted_iota(I32, (bb, w), dimension=1)
+        la = la_ref[...]
+        lb = lb_ref[...]
+
+        @pl.when(t == 0)
+        def _init():
+            fm = finals_ref[0]
+            fh = finals_ref[1]
+            fv = finals_ref[2]
+            upper = jnp.maximum(jnp.maximum(fm, fh), fv)
+            state0 = jnp.where(fm == upper, MAT, jnp.where(fh == upper, HOR, VER))
+            st_ref[0] = la + lb          # cur_d
+            st_ref[1] = la               # i
+            st_ref[2] = state0
+            st_ref[3] = jnp.zeros((bb, 1), I32)  # gap score
+            st_ref[4] = jnp.zeros((bb, 1), I32)  # line count
+            st_ref[5] = upper
+            pa_ref[...] = jnp.full((bb, w), -1, I32)
+
+        cur_d = st_ref[0]
+        cur_i = st_ref[1]
+        state = st_ref[2]
+        gap = st_ref[3]
+        cnt = st_ref[4]
+        partner = pa_ref[...]
+
+        dblk = num_blocks - 1 - t
+        for s in reversed(range(dchunk)):
+            d = dblk * dchunk + s
+            cur_j = cur_d - cur_i
+            act = (cur_d == d) & ((cur_i > 0) | (cur_j > 0))
+            # border forcing (i==0 -> run left; j==0 -> run up)
+            st_eff = jnp.where(cur_i == 0, HOR, jnp.where(cur_j == 0, VER, state))
+            onehot = col == cur_i
+            code = jnp.sum(jnp.where(onehot, dirs_ref[s], 0), axis=1, keepdims=True)
+            mdir = code & 3
+            hdir = (code >> 2) & 3
+            vdir = (code >> 4) & 3
+            pred = jnp.where(st_eff == MAT, mdir,
+                             jnp.where(st_eff == HOR, hdir, vdir))
+
+            is_m = (st_eff == MAT) & act
+            rec = (col == cur_i - 1) & is_m
+            partner = jnp.where(rec, cur_j - 1, partner)
+            cnt = cnt + is_m.astype(I32)
+
+            gap_h = jnp.where(pred == HOR, ge, go)
+            gap_v = jnp.where(pred == VER, ge, go)
+            gap = gap + jnp.where(act & (st_eff == HOR), gap_h, 0) \
+                      + jnp.where(act & (st_eff == VER), gap_v, 0)
+
+            i_next = jnp.where(st_eff != HOR, cur_i - 1, cur_i)
+            d_next = cur_d - 1 - (st_eff == MAT).astype(I32)
+            cur_i = jnp.where(act, i_next, cur_i)
+            cur_d = jnp.where(act, d_next, cur_d)
+            state = jnp.where(act, pred, state)
+
+        st_ref[0] = cur_d
+        st_ref[1] = cur_i
+        st_ref[2] = state
+        st_ref[3] = gap
+        st_ref[4] = cnt
+        pa_ref[...] = partner
+
+        @pl.when(t == num_blocks - 1)
+        def _emit():
+            partner_ref[...] = partner
+            scalars_ref[0] = st_ref[5]  # upper
+            scalars_ref[1] = gap
+            scalars_ref[2] = cnt
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "dchunk", "interpret"))
+def gotoh_scan_pallas(skewed, la, lb, go, ge, block_b: int = 64,
+                      dchunk: int = 8, interpret: bool = False):
+    """Wavefront DP over pre-skewed scores.
+
+    skewed: [D, B, W] int32 diagonal-major cell scores (gotoh.skew_scores).
+    Returns (final_m, final_h, final_v [B] int32, dirs [Dp, B, W] int32 with
+    Dp = D rounded up to ``dchunk``; rows beyond D are padding).
+    """
+    num_diag, b, width = skewed.shape
+    bb = min(block_b, b)
+    wp = _round_up(width, 128)
+    bp = _round_up(b, bb)
+    dp = _round_up(num_diag, dchunk)
+    if wp != width or bp != b or dp != num_diag:
+        skewed = jnp.pad(
+            skewed, ((0, dp - num_diag), (0, bp - b), (0, wp - width)),
+            constant_values=NEG_INF,
+        )
+    la2 = jnp.zeros((bp, 1), I32).at[:b, 0].set(la.astype(I32))
+    lb2 = jnp.zeros((bp, 1), I32).at[:b, 0].set(lb.astype(I32))
+    params = jnp.array([[go, ge]], I32)
+
+    grid = (bp // bb, dp // dchunk)
+    dirs, finals = pl.pallas_call(
+        _make_kernel(dchunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda g, d: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((dchunk, bb, wp), lambda g, d: (d, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda g, d: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda g, d: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((dchunk, bb, wp), lambda g, d: (d, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bb, 1), lambda g, d: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((dp, bp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((3, bp, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((6, bb, wp), jnp.int32),
+            pltpu.VMEM((3, bb, wp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(params, skewed, la2, lb2)
+
+    final_m = finals[0, :b, 0]
+    final_h = finals[1, :b, 0]
+    final_v = finals[2, :b, 0]
+    return final_m, final_h, final_v, dirs[:, :b, :width]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("la_max", "lb_max", "block_b", "dchunk", "interpret")
+)
+def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
+                            block_b: int = 64, dchunk: int = 8,
+                            interpret: bool = False):
+    """Pallas-backed drop-in for :func:`lara_tpu.ops.gotoh.align_pssm_batch`:
+    forward wavefront kernel -> reverse-sweep traceback kernel -> line-list
+    compaction (XLA sort).  Padded lanes have la = lb = 0 and trace nothing.
+    """
+    from lara_tpu.ops import gotoh
+
+    b = pssm.shape[0]
+    lcap = min(la_max, lb_max)
+    skewed = gotoh.skew_scores(pssm, PSSM_INIT)
+    num_diag = skewed.shape[0]
+    bb = min(block_b, b)
+    bp = _round_up(b, bb)
+    wp = _round_up(la_max + 1, 128)
+    dp = _round_up(num_diag, dchunk)
+    skewed = jnp.pad(
+        skewed,
+        ((0, dp - num_diag), (0, bp - b), (0, wp - (la_max + 1))),
+        constant_values=NEG_INF,
+    )
+    la_p = jnp.zeros((bp, 1), I32).at[:b, 0].set(la.astype(I32))
+    lb_p = jnp.zeros((bp, 1), I32).at[:b, 0].set(lb.astype(I32))
+    params = jnp.array([[go, ge]], I32)
+    num_blocks = dp // dchunk
+    grid = (bp // bb, num_blocks)
+
+    dirs, finals = pl.pallas_call(
+        _make_kernel(dchunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda g, d: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((dchunk, bb, wp), lambda g, d: (d, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda g, d: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda g, d: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((dchunk, bb, wp), lambda g, d: (d, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bb, 1), lambda g, d: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((dp, bp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((3, bp, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((6, bb, wp), jnp.int32),
+            pltpu.VMEM((3, bb, wp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(params, skewed, la_p, lb_p)
+
+    partner, scalars = pl.pallas_call(
+        _make_traceback_kernel(dchunk, num_blocks),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda g, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((dchunk, bb, wp),
+                         lambda g, t: (num_blocks - 1 - t, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bb, 1), lambda g, t: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda g, t: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda g, t: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, wp), lambda g, t: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bb, 1), lambda g, t: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((3, bp, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, bb, 1), jnp.int32),
+            pltpu.VMEM((bb, wp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(params, dirs, finals, la_p, lb_p)
+
+    # compact the dense partner map to the ordered line list the solver uses
+    partner = partner[:b, :la_max]  # partner[a] = b or -1, a ascending
+    upper = scalars[0, :b, 0]
+    gap_score = scalars[1, :b, 0]
+    n_lines = scalars[2, :b, 0]
+    valid = partner >= 0
+    order = jnp.argsort(~valid, axis=1, stable=True)[:, :lcap]
+    lines_a = jnp.take_along_axis(
+        jnp.broadcast_to(jnp.arange(la_max, dtype=I32)[None, :], partner.shape),
+        order, axis=1)
+    lines_b = jnp.take_along_axis(partner, order, axis=1)
+    k_idx = jnp.arange(lcap, dtype=I32)[None, :]
+    keep = k_idx < n_lines[:, None]
+    lines = jnp.stack(
+        [jnp.where(keep, lines_a, -1), jnp.where(keep, lines_b, -1)], axis=-1
+    )
+    return gotoh.Traceback(
+        upper=upper, lines=lines, n_lines=n_lines, gap_score=gap_score
+    )

@@ -31,8 +31,10 @@ from lara_tpu.solver.reference_driver import PairResult
 from lara_tpu.types import INFINITY, f2i
 from lara_tpu.utils import log
 
-#: pairs per device batch (tunable; lanes beyond the pair count are padded)
-DEFAULT_MAX_BATCH = 64
+#: pairs per device batch (tunable; lanes beyond the pair count are padded).
+#: per-lane cost falls steeply with batch width on TPU (the wavefront kernel
+#: is sequential-depth-bound, so wider batches are nearly free)
+DEFAULT_MAX_BATCH = 512
 
 
 def _round_up(value: int, quantum: int) -> int:

@@ -37,6 +37,23 @@ F32 = jnp.float32
 NEG_INF = jnp.int32(-int(INFINITY))
 
 
+def _use_pallas() -> bool:
+    """Mosaic wavefront kernel on TPU (LARA_NO_PALLAS=1 disables)."""
+    import os
+
+    if os.environ.get("LARA_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _align(pssm, la, lb, go, ge, la_max: int, lb_max: int):
+    if _use_pallas():
+        from lara_tpu.ops.gotoh_pallas import align_pssm_batch_pallas
+
+        return align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max, lb_max)
+    return gotoh.align_pssm_batch(pssm, la, lb, go, ge, la_max, lb_max)
+
+
 class BatchModel(NamedTuple):
     """Static per-batch problem data (padded)."""
 
@@ -143,7 +160,7 @@ def solve_batch(
         ).reshape(b, la_max, lb_max)
 
         # ---- relaxed problem: wavefront DP + traceback ----
-        tb = gotoh.align_pssm_batch(pssm, model.la, model.lb, go, ge, la_max, lb_max)
+        tb = _align(pssm, model.la, model.lb, go, ge, la_max, lb_max)
         upper = tb.upper
 
         # ---- current solution as a dense edge set ----
