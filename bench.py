@@ -25,29 +25,32 @@ import numpy as np
 
 
 def make_family(n=12, length=72, seed=7):
-    from lara_tpu.io.records import RnaRecord
+    """Point-mutated tRNA family with McCaskill base-pair-probability edges
+    (the shape of the reference's RNAfold-dotplot inputs, ``io.hpp:202-284``):
+    soft, partially conflicting partner candidates exercise the full
+    subgradient loop, unlike a fixed consensus structure."""
+    import math
+
+    from lara_tpu.io.records import MIN_PROB, RnaRecord
+    from lara_tpu.solver import bpp_predict
 
     rng = np.random.default_rng(seed)
     base = list(
         "GCGGAUUUAGCUCAGUUGGGAGAGCGCCAGACUGAAGAUCUGGAGGUCCUGUGUUCGAUCCACAGAAUUCGC"
     )[:length]
-    # cloverleaf-ish pairing: acceptor stem + two hairpin stems
-    pairs = [(i, length - 1 - i) for i in range(7)]
-    pairs += [(9, 23), (10, 22), (11, 21), (12, 20)]
-    pairs += [(26, 42), (27, 41), (28, 40), (29, 39), (30, 38)]
-    pairs += [(48, 64), (49, 63), (50, 62), (51, 61)]
     records = []
     for k in range(n):
         seq = list(base)
         for _ in range(int(rng.integers(2, 7))):
             seq[int(rng.integers(0, length))] = "ACGU"[rng.integers(0, 4)]
-        records.append(
-            RnaRecord(
-                name=f"trna{k}",
-                sequence="".join(seq),
-                fixed_edges=[(i, j, 10.0) for (i, j) in pairs],
-            )
-        )
+        sequence = "".join(seq)
+        probs = bpp_predict.basepair_probabilities(sequence)
+        edges = [
+            (i, j, math.log(p / MIN_PROB))
+            for (i, j), p in sorted(probs.items())
+            if p > MIN_PROB
+        ]
+        records.append(RnaRecord(name=f"trna{k}", sequence=sequence, bpp_edges=edges))
     return records
 
 

@@ -97,5 +97,14 @@ def run(params: Parameters) -> OutputLibrary:
 
     log(1, "4) Write results...")
     outlib.print(params.out_file if params.out_file else None)
+
+    if params.msa_file:
+        from lara_tpu import msa as msa_mod
+
+        log(1, "5) Assemble multiple alignment...")
+        alignment = msa_mod.align(msa_mod.from_output_library(outlib))
+        with open(params.msa_file, "w") as handle:
+            msa_mod.write_fasta(alignment, handle)
+
     log(1, f"lara-tpu has run for {time.monotonic() - time_start:.1f} seconds.")
     return outlib

@@ -77,6 +77,7 @@ class Parameters:
     predict: Optional[str] = None
     backend: str = "device"
     precise_bpp: bool = False
+    msa_file: str = ""
 
     # derived (filled in __post_init__)
     score_matrix: np.ndarray = None  # type: ignore[assignment]
@@ -160,6 +161,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--precise-bpp", action="store_true",
                         help="Keep fractional base-pair probabilities instead of the "
                              "reference's int-truncation of contact weights.")
+    parser.add_argument("--msa", default="", metavar="FILE",
+                        help="Additionally assemble a multiple alignment from the "
+                             "pairwise library (native t_coffee -lib equivalent) and "
+                             "write it as aligned fasta to FILE.")
     return parser
 
 
@@ -195,4 +200,5 @@ def parse_args(argv=None) -> Parameters:
         predict=args.predict,
         backend=args.backend,
         precise_bpp=args.precise_bpp,
+        msa_file=args.msa,
     )
