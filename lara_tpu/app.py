@@ -60,7 +60,10 @@ def _apply_platform_env() -> None:
     cache_dir = os.environ.get(
         "LARA_JAX_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "lara_tpu_jax")
     )
-    if cache_dir != "0":
+    if cache_dir != "0" and jax.default_backend() == "tpu":
+        # TPU-only: Mosaic/XLA-TPU compiles cost minutes and are stable
+        # across runs; XLA:CPU AOT entries are machine-feature-pinned and
+        # noisy to reload, and CPU compiles are cheap anyway.
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

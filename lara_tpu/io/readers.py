@@ -48,6 +48,12 @@ def read_rna_file(filename: str) -> List[RnaRecord]:
         return read_stockholm(filename)
     if ext in (".fq", ".fastq"):
         return read_fastq(filename)
+    if ext in (".embl",):
+        return read_embl(filename)
+    if ext in (".gb", ".gbk", ".genbank"):
+        return read_genbank(filename)
+    if ext in (".raw",):
+        return read_raw(filename)
     # io.hpp:178-199 -- final fallback is Fasta
     return read_fasta(filename)
 
@@ -159,6 +165,80 @@ def read_fastq(filename: str) -> List[RnaRecord]:
             raise LaraInputError(f"{filename}: malformed fastq at line {idx + 1}")
         records.append(RnaRecord(name=lines[idx][1:].strip(), sequence=lines[idx + 1],
                                  record_id=len(records)))
+    return records
+
+
+def read_embl(filename: str) -> List[RnaRecord]:
+    """Minimal EMBL flat-file reader (``ID``/``SQ``/``//`` records) --
+    SeqAn's ``SeqFileIn`` accepts this format (``io.hpp:178-199``)."""
+    records: List[RnaRecord] = []
+    name = None
+    seq_parts: List[str] = []
+    in_seq = False
+    with open(filename, "r", encoding="utf-8") as handle:
+        for line in handle:
+            if line.startswith("ID"):
+                name = line[2:].strip().split(";")[0].strip()
+                seq_parts = []
+                in_seq = False
+            elif line.startswith("SQ"):
+                in_seq = True
+            elif line.startswith("//"):
+                if name is None:
+                    raise LaraInputError(f"{filename}: EMBL record without ID line")
+                records.append(RnaRecord(
+                    name=name, sequence="".join(seq_parts).upper(),
+                    record_id=len(records)))
+                name, seq_parts, in_seq = None, [], False
+            elif in_seq:
+                seq_parts.append("".join(
+                    c for c in line if c.isalpha()))
+    if not records:
+        raise LaraInputError(f"{filename}: no EMBL records found")
+    return records
+
+
+def read_genbank(filename: str) -> List[RnaRecord]:
+    """Minimal GenBank reader (``LOCUS``/``ORIGIN``/``//``)."""
+    records: List[RnaRecord] = []
+    name = None
+    seq_parts: List[str] = []
+    in_seq = False
+    with open(filename, "r", encoding="utf-8") as handle:
+        for line in handle:
+            if line.startswith("LOCUS"):
+                parts = line.split()
+                name = parts[1] if len(parts) > 1 else f"record{len(records)}"
+                seq_parts = []
+                in_seq = False
+            elif line.startswith("ORIGIN"):
+                in_seq = True
+            elif line.startswith("//"):
+                if name is None:
+                    raise LaraInputError(f"{filename}: GenBank record without LOCUS")
+                records.append(RnaRecord(
+                    name=name, sequence="".join(seq_parts).upper(),
+                    record_id=len(records)))
+                name, seq_parts, in_seq = None, [], False
+            elif in_seq:
+                seq_parts.append("".join(c for c in line if c.isalpha()))
+    if not records:
+        raise LaraInputError(f"{filename}: no GenBank records found")
+    return records
+
+
+def read_raw(filename: str) -> List[RnaRecord]:
+    """Raw format: one bare sequence per line (SeqAn ``Raw``)."""
+    records: List[RnaRecord] = []
+    with open(filename, "r", encoding="utf-8") as handle:
+        for line in handle:
+            seq = line.strip()
+            if seq:
+                records.append(RnaRecord(
+                    name=f"sequence{len(records) + 1}", sequence=seq.upper(),
+                    record_id=len(records)))
+    if not records:
+        raise LaraInputError(f"{filename}: no sequences found")
     return records
 
 

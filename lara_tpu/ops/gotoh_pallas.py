@@ -304,7 +304,13 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
     lcap = min(la_max, lb_max)
     skewed = gotoh.skew_scores(pssm, PSSM_INIT)
     num_diag = skewed.shape[0]
-    bb = min(block_b, b)
+    # scale the batch block down for wide problems: VMEM holds the in/out
+    # diagonal blocks (double-buffered) plus 9 wavefront rows per lane,
+    # ~41 * wp * 4 bytes per lane; keep under ~10 MB
+    wp_est = _round_up(la_max + 1, 128)
+    vmem_cap = max(1, (10 * 1024 * 1024) // (41 * 4 * wp_est))
+    block_b = min(block_b, 1 << (vmem_cap.bit_length() - 1))
+    bb = max(1, min(block_b, b))
     bp = _round_up(b, bb)
     wp = _round_up(la_max + 1, 128)
     dp = _round_up(num_diag, dchunk)

@@ -67,9 +67,14 @@ def solve_all(store, pairs: Sequence[Tuple[int, int]], params: Parameters
         key = (_pad_dim(len(store[ia].sequence)), _pad_dim(len(store[ib].sequence)))
         buckets.setdefault(key, []).append((ia, ib))
 
+    #: cap device batches so the DP state stays within HBM headroom:
+    #: B * LA * LB cells at ~16 bytes live state (pssm + skew + dirs)
+    cell_budget = 128 * 1024 * 1024
+
     for (la_max, lb_max), bucket_pairs in sorted(buckets.items(), reverse=True):
-        for start in range(0, len(bucket_pairs), DEFAULT_MAX_BATCH):
-            chunk = bucket_pairs[start : start + DEFAULT_MAX_BATCH]
+        max_batch = max(1, min(DEFAULT_MAX_BATCH, cell_budget // (la_max * lb_max)))
+        for start in range(0, len(bucket_pairs), max_batch):
+            chunk = bucket_pairs[start : start + max_batch]
             yield from _solve_chunk(store, chunk, params, la_max, lb_max)
 
 

@@ -170,3 +170,53 @@ def test_output_sorted_and_deduplicated():
     entries = lib.sorted_entries
     assert len(entries) == 2
     assert entries[0][0] == (0, 1) and entries[1][0] == (1, 2)
+
+
+def test_read_embl(tmp_path):
+    from lara_tpu.io import readers
+
+    f = tmp_path / "two.embl"
+    f.write_text(
+        "ID   seq1; SV 1; linear; RNA; STD; UNC; 8 BP.\n"
+        "DE   test record\n"
+        "SQ   Sequence 8 BP;\n"
+        "     ggggaaaa                                                        8\n"
+        "//\n"
+        "ID   seq2; SV 1; linear; RNA; STD; UNC; 4 BP.\n"
+        "SQ   Sequence 4 BP;\n"
+        "     accg                                                            4\n"
+        "//\n"
+    )
+    records = readers.read_embl(str(f))
+    assert [(r.name, r.sequence) for r in records] == [
+        ("seq1", "GGGGAAAA"), ("seq2", "ACCG")]
+
+
+def test_read_genbank(tmp_path):
+    from lara_tpu.io import readers
+
+    f = tmp_path / "two.gb"
+    f.write_text(
+        "LOCUS       seq1       8 bp    RNA     linear   UNC\n"
+        "DEFINITION  test.\n"
+        "ORIGIN\n"
+        "        1 ggggaaaa\n"
+        "//\n"
+        "LOCUS       seq2       4 bp    RNA     linear   UNC\n"
+        "ORIGIN\n"
+        "        1 accg\n"
+        "//\n"
+    )
+    records = readers.read_genbank(str(f))
+    assert [(r.name, r.sequence) for r in records] == [
+        ("seq1", "GGGGAAAA"), ("seq2", "ACCG")]
+
+
+def test_read_raw(tmp_path):
+    from lara_tpu.io import readers
+
+    f = tmp_path / "seqs.raw"
+    f.write_text("GGGGAAAA\nACCG\n")
+    records = readers.read_raw(str(f))
+    assert [r.sequence for r in records] == ["GGGGAAAA", "ACCG"]
+    assert records[0].name == "sequence1"
