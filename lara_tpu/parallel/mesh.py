@@ -62,7 +62,7 @@ def _sharded_solver(mesh: Mesh, la_max: int, lb_max: int, num_iterations: int,
             best_upper=P("pairs"), best_lower=P("pairs"),
             best_lines=P("pairs"), best_nlines=P("pairs"),
             best_matched=P("pairs"), dual_at_queue=P("pairs"),
-            iterations=P("pairs"),
+            iterations=P("pairs"), overflow=P("pairs"),
         ),
         check_vma=False,
     )

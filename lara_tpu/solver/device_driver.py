@@ -41,6 +41,30 @@ def _round_up(value: int, quantum: int) -> int:
     return ((value + quantum - 1) // quantum) * quantum
 
 
+def _hybrid_available() -> bool:
+    """Hybrid = device DP + native C++ bookkeeping + lane refill.  Default on
+    a single device when the native library builds; the fused all-device
+    while_loop remains for multi-chip shard_map runs (LARA_SOLVER=fused
+    forces it, LARA_SOLVER=hybrid forces hybrid)."""
+    import os
+
+    mode = os.environ.get("LARA_SOLVER", "")
+    if mode == "fused":
+        return False
+    try:
+        import jax
+
+        from lara_tpu.native import lagrange
+
+        lagrange._load()
+        if mode == "hybrid":
+            return True
+        return len(jax.devices()) == 1
+    except Exception as exc:  # no toolchain / no devices info
+        log(2, f"   * hybrid backend unavailable ({exc}); using fused")
+        return False
+
+
 def _pad_dim(length: int) -> int:
     """Bucket quantisation: coarse enough to batch well, fine enough to not
     waste O(L^2) work."""
@@ -60,6 +84,13 @@ def solve_all(store, pairs: Sequence[Tuple[int, int]], params: Parameters
         log(1, "   * matching mode requires the scalar backend; using it")
         for (ia, ib) in pairs:
             yield reference_driver.solve_pair(store[ia], store[ib], params, (ia, ib))
+        return
+
+    if _hybrid_available():
+        from lara_tpu.solver import hybrid_driver
+
+        log(2, "   * hybrid backend: device DP + native host bookkeeping")
+        yield from hybrid_driver.solve_all(store, pairs, params)
         return
 
     buckets: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
@@ -187,8 +218,18 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
     best_upper = np.asarray(result.best_upper)
     iterations = np.asarray(result.iterations)
     dual_q = np.asarray(result.dual_at_queue)
+    overflow = np.asarray(result.overflow)
 
     for k, (ia, ib) in enumerate(chunk):
+        if overflow[k]:
+            # matching candidate cap exceeded at some iteration: the greedy
+            # queue may have been truncated, so redo this pair exactly on the
+            # scalar path (rare: needs >2048 line-interactions live at once)
+            from lara_tpu.solver import reference_driver
+
+            log(1, f"   * pair {(ia, ib)}: matching cap exceeded, scalar redo")
+            yield reference_driver.solve_pair(store[ia], store[ib], params, (ia, ib))
+            continue
         n = int(best_nlines[k])
         lines = [tuple(x) for x in best_lines[k, :n]]
         matched = best_matched[k, :n]

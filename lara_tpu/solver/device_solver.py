@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from lara_tpu.ops import gotoh
-from lara_tpu.solver.matching_device import greedy_matching_batch
+from lara_tpu.solver.matching_device import greedy_matching_rounds
 from lara_tpu.types import INFINITY, PSSM_INIT
 
 I32 = jnp.int32
@@ -85,10 +85,12 @@ class BatchResult(NamedTuple):
     best_matched: jax.Array  # [B, LCAP] bool
     dual_at_queue: jax.Array  # [B, D] int32
     iterations: jax.Array    # [B] int32
+    overflow: jax.Array      # [B] bool: matching candidate cap exceeded
 
 
 class _Carry(NamedTuple):
     dual: jax.Array
+    overflow: jax.Array
     dual_at_queue: jax.Array
     step_factor: jax.Array
     nondecr: jax.Array
@@ -128,6 +130,7 @@ def solve_batch(
 
     carry0 = _Carry(
         dual=jnp.zeros((b, d), I32),
+        overflow=jnp.zeros((b,), bool),
         dual_at_queue=jnp.zeros((b, d), I32),
         step_factor=jnp.full((b,), step_factor0, F32),
         nondecr=jnp.zeros((b,), I32),
@@ -205,20 +208,26 @@ def solve_batch(
         matched_cons = in_sol & (top_not_self | matched_m)
 
         # ---- matching branch (lagrange.hpp:380-395) ----
+        # edge id -> line slot map; matching state is per line slot (<= lcap)
+        slot_of = jnp.full((b, ne + 1), lcap, I32)
+        write_col = jnp.where(line_valid, line_edges, ne)
+        slot_of = slot_of.at[lane[:, None], write_col].set(
+            jnp.where(line_valid, k_idx, lcap))
         cand = model.dvalid & l_in & m_in & (model.dual_l < model.dual_m) \
             & any_sg[:, None] & act[:, None]
-        match_res = greedy_matching_batch(
-            2 * model.sscore, model.dual_l, model.dual_m, cand, lookahead, ne
+        match_res = greedy_matching_rounds(
+            2 * model.sscore, model.dual_l, model.dual_m, cand, slot_of,
+            lookahead, lcap,
         )
-        matched_edge = jnp.where(any_sg[:, None], match_res.used_vertex & in_sol,
-                                 matched_cons)
-        struct_part = jnp.where(any_sg, match_res.score.astype(I32), consistent_sum)
+        struct_part = jnp.where(any_sg, match_res.score, consistent_sum)
 
         lower = seq_part + struct_part + tb.gap_score
 
         # ---- best primal tracking (lagrange.hpp:416-421) ----
         better = act & (lower > c.best_score)
-        line_matched = take(matched_edge, line_edges) & line_valid
+        line_matched = jnp.where(
+            any_sg[:, None], match_res.used_slot, take(matched_cons, line_edges)
+        ) & line_valid
         best_score = jnp.where(better, lower, c.best_score)
         best_lines = jnp.where(better[:, None, None], tb.lines, c.best_lines)
         best_nlines = jnp.where(better, tb.n_lines, c.best_nlines)
@@ -246,6 +255,7 @@ def solve_batch(
 
         return _Carry(
             dual=dual,
+            overflow=c.overflow | (act & match_res.overflow),
             dual_at_queue=dual_at_queue,
             step_factor=step_factor,
             nondecr=nondecr,
@@ -272,4 +282,5 @@ def solve_batch(
         best_matched=final.best_matched,
         dual_at_queue=final.dual_at_queue,
         iterations=final.iterations,
+        overflow=final.overflow,
     )

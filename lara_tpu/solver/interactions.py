@@ -136,5 +136,18 @@ def build_pair_model(
     assert np.array_equal(l_edge[rev], m_edge) and np.array_equal(m_edge[rev], l_edge), \
         "interaction table is not symmetric"
 
+    # permute into matching-queue order: the greedy queue key is the STATIC
+    # structure score (matching.hpp:149-151; interaction[].score never sees
+    # duals), so the std::set order (-2*score, lineL, lineR) is fixed per
+    # pair.  Storing the dual arrays presorted lets the device matching skip
+    # the per-iteration sort entirely (it compacts candidates in array order).
+    perm = np.lexsort((m_edge, l_edge, -2 * sscore.astype(np.int64)))
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    l_edge = l_edge[perm]
+    m_edge = m_edge[perm]
+    sscore = sscore[perm]
+    rev = inv[rev[perm]].astype(np.int32)
+
     return PairModel(la, lb, seq_a, seq_b, act, seq_score,
                      l_edge, m_edge, sscore, rev)

@@ -264,6 +264,122 @@ def _solve_conflicts_machine(sel_l, sel_m, sel_w, sel_cnt, engaged, lh: int):
     return final.res_elim  # [B] slot bitmask
 
 
+class RoundsResult(NamedTuple):
+    score: jax.Array      # [B] int32: sum of accepted 2*score weights
+    used_slot: jax.Array  # [B, LCAP] bool: line slot is matched
+    overflow: jax.Array   # [B] bool: candidate count exceeded the cap
+
+
+@functools.partial(jax.jit, static_argnames=("lookahead", "lcap", "cap"))
+def greedy_matching_rounds(w2, l_edge, m_edge, cand, slot_of,
+                           lookahead: int, lcap: int, cap: int = 2048
+                           ) -> RoundsResult:
+    """Round-vectorized greedy lookahead matching over PRESORTED candidates.
+
+    The queue weight is the static structure score (``matching.hpp:149-151``;
+    duals never enter), so the model arrays arrive presorted in queue order
+    (:func:`lara_tpu.solver.interactions.build_pair_model`) and the per-call
+    sort disappears.  The reference's entry-at-a-time scan collapses into
+    *rounds*: contacts only ever grow, so between two conflict resolutions
+    the "skip if endpoint already matched" predicate is constant -- the next
+    ``lookahead`` unblocked entries are found with one cumsum per round
+    instead of one loop step per queue entry.  Entries passed over by the
+    scan pointer stay dead (exactly the reference's forward-only iterator).
+
+    ``w2/l_edge/m_edge/cand`` are [B, D] in queue order; ``slot_of`` is
+    [B, NE+1] mapping edge ids to line slots (``lcap`` = invalid) so the
+    matched-state array is per *line slot* (<= lcap), not per edge.
+    """
+    b, d = w2.shape
+    lh = max(1, min(int(lookahead), 8))
+    cap = min(cap, d)
+    lane = jnp.arange(b, dtype=I32)
+    ne1 = slot_of.shape[1]
+
+    # --- compact candidates in queue order ---
+    rank = jnp.cumsum(cand, axis=1, dtype=I32) - 1
+    n_cand_full = jnp.sum(cand, axis=1).astype(I32)
+    overflow = n_cand_full > cap
+    n_cand = jnp.minimum(n_cand_full, cap)
+    write = cand & (rank < cap)
+    idx = jnp.where(write, rank, cap)
+
+    def compact(vals, fill):
+        out = jnp.full((b, cap + 1), fill, I32)
+        out = out.at[lane[:, None], idx].set(jnp.where(write, vals.astype(I32), fill))
+        return out[:, :cap]
+
+    wc = compact(w2, 0)
+    lc = compact(l_edge, 0)
+    mc = compact(m_edge, 0)
+    slc = jnp.take_along_axis(slot_of, jnp.clip(lc, 0, ne1 - 1), axis=1)
+    smc = jnp.take_along_axis(slot_of, jnp.clip(mc, 0, ne1 - 1), axis=1)
+
+    lh_lane = jnp.minimum(I32(lh), n_cand)  # matching.hpp:153-156
+    pos = jnp.arange(cap, dtype=I32)[None, :]
+    k_idx = jnp.arange(lh, dtype=I32)[None, :]
+
+    class _St(NamedTuple):
+        ptr: jax.Array    # [B]
+        used: jax.Array   # [B, LCAP+1] bool (sentinel col lcap)
+        score: jax.Array  # [B] i32
+
+    state = _St(
+        ptr=jnp.zeros((b,), I32),
+        used=jnp.zeros((b, lcap + 1), bool),
+        score=jnp.zeros((b,), I32),
+    )
+
+    def cond(s: _St):
+        return jnp.any(s.ptr < n_cand)
+
+    def body(s: _St) -> _St:
+        engaged = s.ptr < n_cand
+        blocked = jnp.take_along_axis(s.used, slc, axis=1) | \
+            jnp.take_along_axis(s.used, smc, axis=1)
+        ok = (pos >= s.ptr[:, None]) & (pos < n_cand[:, None]) & ~blocked
+        r = jnp.cumsum(ok, axis=1, dtype=I32) - 1
+        sel = ok & (r < lh_lane[:, None])
+        sel_cnt = jnp.sum(sel, axis=1).astype(I32)
+        any_sel = sel_cnt > 0
+
+        # scatter the selection into lookahead slots (r < lh for selected)
+        sslot = jnp.where(sel, r, lh)
+
+        def gather_sel(vals):
+            out = jnp.zeros((b, lh + 1), I32)
+            out = out.at[lane[:, None], sslot].set(jnp.where(sel, vals, 0))
+            return out[:, :lh]
+
+        sel_l = gather_sel(lc)
+        sel_m = gather_sel(mc)
+        sel_w = gather_sel(wc)
+        sel_sl = gather_sel(slc)
+        sel_sm = gather_sel(smc)
+
+        elim_mask = _solve_conflicts_machine(
+            sel_l, sel_m, sel_w, sel_cnt, engaged & any_sel, lh)
+        kept = (engaged & any_sel)[:, None] & (k_idx < sel_cnt[:, None]) & \
+            (((elim_mask[:, None] >> k_idx) & 1) == 0)
+
+        score = s.score + jnp.sum(jnp.where(kept, sel_w, 0), axis=1)
+        used = s.used
+        used = used.at[lane[:, None], jnp.where(kept, sel_sl, lcap)].max(kept)
+        used = used.at[lane[:, None], jnp.where(kept, sel_sm, lcap)].max(kept)
+        used = used.at[:, lcap].set(False)
+
+        # the scan stopped at the lh-th unblocked entry (or the queue end)
+        sel_end = jnp.max(jnp.where(sel, pos, -1), axis=1)
+        full = sel_cnt >= lh_lane
+        new_ptr = jnp.where(full, sel_end + 1, n_cand)
+        ptr = jnp.where(engaged, new_ptr, s.ptr)
+        return _St(ptr=ptr, used=used, score=score)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return RoundsResult(score=final.score, used_slot=final.used[:, :lcap],
+                        overflow=overflow)
+
+
 class MatchingResult(NamedTuple):
     score: jax.Array        # [B] int64: sum of accepted 2*score weights
     used_vertex: jax.Array  # [B, NE] bool: matched line endpoints

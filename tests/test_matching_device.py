@@ -80,3 +80,91 @@ def test_device_matching_known_chain():
     assert int(out.score[0]) == 10
     used = np.asarray(out.used_vertex[0])
     assert used[0] and used[1] and not used[2]
+
+
+# ---------------------------------------------------------------------------
+# rounds variant (presorted queue, per-line-slot state)
+# ---------------------------------------------------------------------------
+
+from lara_tpu.solver.matching_device import greedy_matching_rounds  # noqa: E402
+
+
+def _queue_sorted(inter):
+    return sorted(inter, key=lambda t: (-2 * t[2], t[0], t[1]))
+
+
+@pytest.mark.parametrize("lookahead", [1, 2, 5])
+@pytest.mark.parametrize("seed", range(8))
+def test_rounds_matching_matches_mirror(seed, lookahead):
+    rng = np.random.default_rng(seed * 100 + lookahead)
+    n_edges = 64
+    batch = 8
+    dcap = 24
+    lcap = 12
+
+    w2 = np.zeros((batch, dcap), np.int32)
+    l_e = np.zeros((batch, dcap), np.int32)
+    m_e = np.zeros((batch, dcap), np.int32)
+    cand = np.zeros((batch, dcap), bool)
+    slot_of = np.full((batch, n_edges + 1), lcap, np.int32)
+    expected = []
+
+    for k in range(batch):
+        n_lines = int(rng.integers(2, 9))
+        n_inter = int(rng.integers(0, dcap))
+        lines, inter = run_case(rng, n_lines, n_inter, lookahead, n_edges)
+        partners = [[] for _ in lines]
+        for (l, m, w) in inter:
+            partners[lines.index(l)].append((w // 2, m))
+        score, contacts = matching_ref.greedy_matching(partners, lines, lookahead)
+        expected.append((score, contacts, lines))
+        for slot, line in enumerate(lines):
+            slot_of[k, line] = slot
+        for idx, (l, m, w) in enumerate(_queue_sorted(inter)):
+            w2[k, idx] = w
+            l_e[k, idx] = l
+            m_e[k, idx] = m
+            cand[k, idx] = True
+
+    out = greedy_matching_rounds(w2, l_e, m_e, cand, slot_of, lookahead, lcap)
+    assert not np.asarray(out.overflow).any()
+    for k in range(batch):
+        score, contacts, lines = expected[k]
+        assert int(out.score[k]) == score, f"lane {k}"
+        used = np.asarray(out.used_slot[k])
+        want = np.zeros(lcap, bool)
+        for v in contacts:
+            want[lines.index(v)] = True
+        np.testing.assert_array_equal(used, want, err_msg=f"lane {k}")
+
+
+def test_rounds_matching_overflow_flag():
+    # 6 candidates with cap=4 -> overflow flagged, result still a matching
+    inter = [(0, 1, 10), (2, 3, 8), (4, 5, 6), (0, 2, 4), (1, 3, 4), (4, 1, 2)]
+    inter = _queue_sorted(inter)
+    d = len(inter)
+    w2 = np.array([[w for (_, _, w) in inter]], np.int32)
+    l_e = np.array([[min(l, m) for (l, m, _) in inter]], np.int32)
+    m_e = np.array([[max(l, m) for (l, m, _) in inter]], np.int32)
+    cand = np.ones((1, d), bool)
+    slot_of = np.full((1, 9), 6, np.int32)
+    slot_of[0, :6] = np.arange(6)
+    out = greedy_matching_rounds(w2, l_e, m_e, cand, slot_of, 5, 6, cap=4)
+    assert bool(out.overflow[0])
+
+
+def test_rounds_matching_interleaved_invalid():
+    # non-candidate entries interleaved in the array must be skipped
+    inter = [(0, 1, 10), (1, 2, 8), (2, 3, 6)]
+    entries = _queue_sorted(inter)
+    w2 = np.array([[entries[0][2], 99, entries[1][2], entries[2][2], 0]], np.int32)
+    l_e = np.array([[entries[0][0], 7, entries[1][0], entries[2][0], 0]], np.int32)
+    m_e = np.array([[entries[0][1], 8, entries[1][1], entries[2][1], 0]], np.int32)
+    cand = np.array([[True, False, True, True, False]])
+    slot_of = np.full((1, 10), 4, np.int32)
+    slot_of[0, :4] = np.arange(4)
+    out = greedy_matching_rounds(w2, l_e, m_e, cand, slot_of, 5, 4)
+    # greedy takes (0,1)=10 then (2,3)=6
+    assert int(out.score[0]) == 16
+    np.testing.assert_array_equal(
+        np.asarray(out.used_slot[0]), [True, True, True, True])
