@@ -45,10 +45,14 @@ def make_family(n=12, length=72, seed=7):
             seq[int(rng.integers(0, length))] = "ACGU"[rng.integers(0, 4)]
         sequence = "".join(seq)
         probs = bpp_predict.basepair_probabilities(sequence)
+        # keep peaked pairs only (p > 0.05): the builtin flat-energy ensemble
+        # over-generates weak pairs relative to RNAfold's Turner-model dot
+        # plots (~1-3 partners/position above threshold), and the benchmark
+        # should reflect the reference protocol's input shape
         edges = [
             (i, j, math.log(p / MIN_PROB))
             for (i, j), p in sorted(probs.items())
-            if p > MIN_PROB
+            if p > 0.05
         ]
         records.append(RnaRecord(name=f"trna{k}", sequence=sequence, bpp_edges=edges))
     return records
@@ -61,7 +65,7 @@ def main():
 
     _apply_platform_env()  # persistent compile cache
     params = Parameters(in_file="<bench>")
-    store = make_family(n=32)
+    store = make_family(n=16)
     pairs = enumerate_pairs(store)
 
     # --- device backend (includes host model build; excludes compile) ---
@@ -74,7 +78,7 @@ def main():
     device_rate = len(pairs) / device_time
 
     # --- scalar baseline on a subset ---
-    n_base = min(6, len(pairs))
+    n_base = min(4, len(pairs))
     t0 = time.perf_counter()
     base_results = [
         reference_driver.solve_pair(store[ia], store[ib], params, (ia, ib))

@@ -29,6 +29,12 @@ def _load():
         lib.lara_lagrange_step.argtypes = [
             ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_int32, ctypes.c_int32,
         ]
+        lib.lara_lagrange_step_sparse.restype = ctypes.c_int
+        lib.lara_lagrange_step_sparse.argtypes = [
+            ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
         lib.lara_lagrange_result.restype = ctypes.c_int
         lib.lara_lagrange_result.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int32, ctypes.c_int32,
@@ -80,6 +86,25 @@ class PairSolver:
         if status < 0:
             raise AssertionError(f"native lagrange invariant violated ({status})")
         return status
+
+    def step_sparse(self, lines: np.ndarray, gap_score: int, upper: int,
+                    upd_idx: np.ndarray, upd_val: np.ndarray
+                    ) -> Tuple[int, int]:
+        """Like :meth:`step` but records the changed PSSM entries into the
+        caller-provided arrays.  Returns (status, n_updates); n_updates == -1
+        means the capacity overflowed and the full PSSM must be re-uploaded."""
+        import ctypes
+
+        lines = np.ascontiguousarray(lines, np.int32)
+        n_upd = ctypes.c_int(0)
+        status = self._lib.lara_lagrange_step_sparse(
+            self._handle, lines.reshape(-1), lines.shape[0],
+            np.int32(gap_score), np.int32(upper),
+            upd_idx, upd_val, upd_idx.shape[0], ctypes.byref(n_upd),
+        )
+        if status < 0:
+            raise AssertionError(f"native lagrange invariant violated ({status})")
+        return status, int(n_upd.value)
 
     def result(self, params) -> Tuple[List[Tuple[int, int, int]], int, int, int]:
         """Returns (columns, best_lower, best_upper, iterations)."""

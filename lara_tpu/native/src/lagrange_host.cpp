@@ -258,9 +258,26 @@ void* lara_lagrange_create(
 // One subgradient iteration given the device alignment result.
 // lines_ab: [n_lines * 2] (a, b) pairs ascending; gap_score: affine gap score
 // of the alignment; upper: the DP optimum (dual bound).
+// upd_idx/upd_val (capacity upd_cap) receive the PSSM entries changed by
+// this step (flat edge ids + new values) so the driver can ship a sparse
+// device update; *n_upd = -1 signals capacity overflow (full re-upload).
 // Returns 1 when converged/exhausted, 0 to continue, -1 on invariant failure.
+int lara_lagrange_step_sparse(void* handle, const i32* lines_ab, int n_lines,
+                              i32 gap_score, i32 upper,
+                              i32* upd_idx, i32* upd_val, int upd_cap,
+                              int* n_upd);
+
 int lara_lagrange_step(void* handle, const i32* lines_ab, int n_lines,
                        i32 gap_score, i32 upper) {
+    int n_upd = 0;
+    return lara_lagrange_step_sparse(handle, lines_ab, n_lines, gap_score,
+                                     upper, nullptr, nullptr, 0, &n_upd);
+}
+
+int lara_lagrange_step_sparse(void* handle, const i32* lines_ab, int n_lines,
+                              i32 gap_score, i32 upper,
+                              i32* upd_idx, i32* upd_val, int upd_cap,
+                              int* n_upd) {
     Solver* s = (Solver*)handle;
     if (s->done) return 1;
     // snapshot the duals the current PSSM reflects (reference skips
@@ -378,6 +395,7 @@ int lara_lagrange_step(void* handle, const i32* lines_ab, int n_lines,
     }
 
     // ---- dual update (subgradient_solver.hpp:265-271) ----
+    *n_upd = 0;
     if (!sg_order.empty()) {
         float step_size = s->step_factor *
                           (float)(s->best_upper - s->best_lower) /
@@ -390,7 +408,21 @@ int lara_lagrange_step(void* handle, const i32* lines_ab, int n_lines,
             touched_edges.insert(s->dual_l[didx]);
         }
         // refresh only the touched PSSM entries (updateScores semantics)
-        for (i32 edge : touched_edges) s->write_pssm_edge(edge);
+        for (i32 edge : touched_edges) {
+            // indices are emitted in the caller's (strided) plane layout
+            i32 plane_idx = (edge / s->lb) * s->pssm_stride + edge % s->lb;
+            i32 before = s->pssm[plane_idx];
+            s->write_pssm_edge(edge);
+            i32 after = s->pssm[plane_idx];
+            if (after == before || upd_cap == 0) continue;
+            if (*n_upd >= 0 && *n_upd < upd_cap) {
+                upd_idx[*n_upd] = plane_idx;
+                upd_val[*n_upd] = after;
+                (*n_upd)++;
+            } else {
+                *n_upd = -1;  // overflow: caller re-uploads the full PSSM
+            }
+        }
     }
 
     s->remaining -= 1;

@@ -42,7 +42,7 @@ def _sharded_solver(mesh: Mesh, la_max: int, lb_max: int, num_iterations: int,
     """Build the sharded solve function for one static configuration."""
 
     def impl(model, go, ge, step0):
-        return device_solver.solve_batch(
+        return device_solver.solve_batch_traced(
             model, go, ge, step0, la_max, lb_max, num_iterations,
             max_nondecr, lookahead,
         )

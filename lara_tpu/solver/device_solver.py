@@ -105,30 +105,8 @@ class _Carry(NamedTuple):
     iterations: jax.Array
 
 
-@functools.partial(
-    jax.jit, static_argnames=("la_max", "lb_max", "num_iterations", "max_nondecr", "lookahead")
-)
-def solve_batch(
-    model: BatchModel,
-    go,
-    ge,
-    step_factor0,
-    la_max: int,
-    lb_max: int,
-    num_iterations: int,
-    max_nondecr: int,
-    lookahead: int,
-) -> BatchResult:
-    b, ne = model.seq_score.shape
-    d = model.dual_l.shape[1]
-    lcap = min(la_max, lb_max)
-    go = I32(go)
-    ge = I32(ge)
-
-    lane = jnp.arange(b, dtype=I32)
-    batch_offset = (lane * ne)[:, None]
-
-    carry0 = _Carry(
+def _init_carry(b: int, d: int, lcap: int, step_factor0, num_iterations: int) -> "_Carry":
+    return _Carry(
         dual=jnp.zeros((b, d), I32),
         overflow=jnp.zeros((b,), bool),
         dual_at_queue=jnp.zeros((b, d), I32),
@@ -145,10 +123,82 @@ def solve_batch(
         iterations=jnp.zeros((b,), I32),
     )
 
+
+def _result_of(final: "_Carry") -> BatchResult:
+    return BatchResult(
+        best_upper=final.best_upper,
+        best_lower=final.best_lower,
+        best_lines=final.best_lines,
+        best_nlines=final.best_nlines,
+        best_matched=final.best_matched,
+        dual_at_queue=final.dual_at_queue,
+        iterations=final.iterations,
+        overflow=final.overflow,
+    )
+
+
+def solve_batch(
+    model: BatchModel,
+    go,
+    ge,
+    step_factor0,
+    la_max: int,
+    lb_max: int,
+    num_iterations: int,
+    max_nondecr: int,
+    lookahead: int,
+    chunk: int = 50,
+) -> BatchResult:
+    """Host-chunked fused solve: the device while_loop runs at most ``chunk``
+    iterations per dispatch (long single dispatches trip RPC watchdogs on
+    tunnel-attached TPUs); the carry stays on device between dispatches."""
+    b, _ = model.seq_score.shape
+    d = model.dual_l.shape[1]
+    lcap = min(la_max, lb_max)
+    carry = _init_carry(b, d, lcap, step_factor0, num_iterations)
+    total = 0
+    while total < num_iterations:
+        carry = solve_batch_chunk(
+            model, carry, go, ge, la_max, lb_max,
+            min(chunk, num_iterations - total), max_nondecr, lookahead,
+        )
+        total += chunk
+        if not bool(jnp.any(carry.lane_active)):
+            break
+    return _result_of(carry)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("la_max", "lb_max", "max_steps", "max_nondecr", "lookahead"),
+    donate_argnames=("carry",),
+)
+def solve_batch_chunk(
+    model: BatchModel,
+    carry: "_Carry",
+    go,
+    ge,
+    la_max: int,
+    lb_max: int,
+    max_steps: int,
+    max_nondecr: int,
+    lookahead: int,
+) -> "_Carry":
+    """Up to ``max_steps`` fused iterations; resumable."""
+    b, ne = model.seq_score.shape
+    d = model.dual_l.shape[1]
+    lcap = min(la_max, lb_max)
+    go = I32(go)
+    ge = I32(ge)
+
+    lane = jnp.arange(b, dtype=I32)
+    batch_offset = (lane * ne)[:, None]
+
     def take(arr2d, idx):
         return jnp.take_along_axis(arr2d, idx, axis=1)
 
-    def body(c: _Carry) -> _Carry:
+    def body(state):
+        steps, c = state
         act = c.lane_active
         dual_at_queue = jnp.where(act[:, None], c.dual, c.dual_at_queue)
 
@@ -253,7 +303,7 @@ def solve_batch(
         remaining = jnp.where(act, c.remaining - 1, c.remaining)
         done_now = act & ((best_upper == best_lower) | (remaining == 0))
 
-        return _Carry(
+        return steps + 1, _Carry(
             dual=dual,
             overflow=c.overflow | (act & match_res.overflow),
             dual_at_queue=dual_at_queue,
@@ -270,17 +320,34 @@ def solve_batch(
             iterations=c.iterations + act.astype(I32),
         )
 
-    def cond(c: _Carry):
-        return jnp.any(c.lane_active)
+    def cond(state):
+        steps, c = state
+        return (steps < max_steps) & jnp.any(c.lane_active)
 
-    final = jax.lax.while_loop(cond, body, carry0)
-    return BatchResult(
-        best_upper=final.best_upper,
-        best_lower=final.best_lower,
-        best_lines=final.best_lines,
-        best_nlines=final.best_nlines,
-        best_matched=final.best_matched,
-        dual_at_queue=final.dual_at_queue,
-        iterations=final.iterations,
-        overflow=final.overflow,
+    _, final = jax.lax.while_loop(cond, body, (I32(0), carry))
+    return final
+
+
+def solve_batch_traced(
+    model: BatchModel,
+    go,
+    ge,
+    step_factor0,
+    la_max: int,
+    lb_max: int,
+    num_iterations: int,
+    max_nondecr: int,
+    lookahead: int,
+) -> BatchResult:
+    """Fully-traced one-shot solve (for shard_map: the whole loop must live
+    inside one traced program; per-device dispatches are short because each
+    shard is small)."""
+    b, _ = model.seq_score.shape
+    d = model.dual_l.shape[1]
+    lcap = min(la_max, lb_max)
+    carry = _init_carry(b, d, lcap, step_factor0, num_iterations)
+    final = solve_batch_chunk.__wrapped__(
+        model, carry, go, ge, la_max, lb_max, num_iterations, max_nondecr,
+        lookahead,
     )
+    return _result_of(final)

@@ -88,19 +88,63 @@ def _build_models(store, chunk, params, la_max, lb_max):
     ]
 
 
-def _solve_bucket(store, bucket_pairs, params: Parameters,
-                  la_max: int, lb_max: int, lanes: int) -> Iterator[PairResult]:
+#: per-lane sparse PSSM update capacity per iteration; overflow falls back to
+#: a full-plane upload for that lane
+UPD_CAP = 512
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _device_fns(la_max: int, lb_max: int, lanes: int):
+    """Jitted device-side step: apply sparse PSSM updates, run DP+traceback,
+    return one packed int32 result array (single download per iteration)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    from lara_tpu.native.lagrange import PairSolver
     from lara_tpu.solver.device_solver import _align
+
+    ne = la_max * lb_max
+    lcap = min(la_max, lb_max)
+
+    @functools.partial(jax.jit, donate_argnames=("pssm_dev",))
+    def device_iter(pssm_dev, uidx, uval, un, las, lbs, go, ge):
+        k = jnp.arange(UPD_CAP, dtype=jnp.int32)[None, :]
+        valid = k < un[:, None]
+        lane_off = (jnp.arange(lanes, dtype=jnp.int32) * ne)[:, None]
+        flat = jnp.where(valid, uidx + lane_off, lanes * ne)
+        pssm_dev = pssm_dev.at[flat.reshape(-1)].set(
+            jnp.where(valid, uval, 0).reshape(-1))
+        pssm = pssm_dev[: lanes * ne].reshape(lanes, la_max, lb_max)
+        tb = _align(pssm, las, lbs, go, ge, la_max, lb_max)
+        packed = jnp.concatenate(
+            [tb.upper[:, None], tb.gap_score[:, None], tb.n_lines[:, None],
+             tb.lines.reshape(lanes, 2 * lcap)], axis=1)
+        return pssm_dev, packed
+
+    @functools.partial(jax.jit, donate_argnames=("pssm_dev",))
+    def set_plane(pssm_dev, lane, plane_flat):
+        return jax.lax.dynamic_update_slice(pssm_dev, plane_flat, (lane * ne,))
+
+    return device_iter, set_plane
+
+
+def _solve_bucket(store, bucket_pairs, params: Parameters,
+                  la_max: int, lb_max: int, lanes: int) -> Iterator[PairResult]:
+    import jax.numpy as jnp
+
+    from lara_tpu.native.lagrange import PairSolver
 
     lanes = min(lanes, len(bucket_pairs))
     log(2, f"     hybrid bucket: {len(bucket_pairs)} pairs, {lanes} lanes, "
            f"{la_max}x{lb_max}")
     go, ge = int(params.gap_open_int), int(params.gap_extend_int)
     lcap = min(la_max, lb_max)
+    ne = la_max * lb_max
+    device_iter, set_plane = _device_fns(la_max, lb_max, lanes)
 
     # model prefetch: build in chunks so lane refills rarely wait on the host
     pending = list(bucket_pairs)
@@ -114,7 +158,11 @@ def _solve_bucket(store, bucket_pairs, params: Parameters,
             models = _build_models(store, chunk, params, la_max, lb_max)
             model_cache.extend(zip(chunk, models))
 
-    pssm = np.full((lanes, la_max, lb_max), int(PSSM_INIT), np.int32)
+    pssm_host = np.full((lanes, la_max, lb_max), int(PSSM_INIT), np.int32)
+    upd_idx = np.zeros((lanes, UPD_CAP), np.int32)
+    upd_val = np.zeros((lanes, UPD_CAP), np.int32)
+    upd_n = np.zeros(lanes, np.int32)
+    needs_full = np.zeros(lanes, bool)
     slots: List = [None] * lanes  # (pair, PairSolver) or None
     las = np.ones(lanes, np.int32)
     lbs = np.ones(lanes, np.int32)
@@ -125,29 +173,53 @@ def _solve_bucket(store, bucket_pairs, params: Parameters,
         if not model_cache:
             return
         pair, model = model_cache.pop(0)
-        pssm[k] = int(PSSM_INIT)
-        solver = PairSolver(model, params, pssm[k])
+        pssm_host[k] = int(PSSM_INIT)
+        solver = PairSolver(model, params, pssm_host[k])
         slots[k] = (pair, solver)
         las[k], lbs[k] = model.la, model.lb
         lane_active[k] = True
+        needs_full[k] = True
 
     for k in range(lanes):
         fill_lane(k)
 
+    pssm_dev = jnp.asarray(
+        np.concatenate([pssm_host.reshape(-1), np.zeros(1, np.int32)]))
+    needs_full[:] = False  # initial upload covered the planes
+
     pool = ThreadPoolExecutor(max_workers=min(16, lanes))
+    go_j, ge_j = np.int32(go), np.int32(ge)
     try:
         while lane_active.any():
-            tb = _align(jnp.asarray(pssm), jnp.asarray(las), jnp.asarray(lbs),
-                        np.int32(go), np.int32(ge), la_max, lb_max)
-            lines = np.asarray(tb.lines)
-            n_lines = np.asarray(tb.n_lines)
-            gap = np.asarray(tb.gap_score)
-            upper = np.asarray(tb.upper)
+            for k in np.nonzero(needs_full)[0]:
+                pssm_dev = set_plane(pssm_dev, np.int32(k),
+                                     jnp.asarray(pssm_host[k].reshape(-1)))
+                needs_full[k] = False
+
+            pssm_dev, packed = device_iter(
+                pssm_dev, jnp.asarray(upd_idx), jnp.asarray(upd_val),
+                jnp.asarray(upd_n), jnp.asarray(las), jnp.asarray(lbs),
+                go_j, ge_j,
+            )
+            out = np.asarray(packed)
+            upper = out[:, 0]
+            gap = out[:, 1]
+            n_lines = out[:, 2]
+            lines = out[:, 3:].reshape(lanes, lcap, 2)
+            upd_n[:] = 0
 
             def do_step(k: int) -> int:
                 _pair, solver = slots[k]
-                return solver.step(lines[k, : n_lines[k]], int(gap[k]),
-                                   int(upper[k]))
+                status, count = solver.step_sparse(
+                    lines[k, : n_lines[k]], int(gap[k]), int(upper[k]),
+                    upd_idx[k], upd_val[k],
+                )
+                if count < 0:
+                    needs_full[k] = True
+                    upd_n[k] = 0
+                else:
+                    upd_n[k] = count
+                return status
 
             active_idx = [k for k in range(lanes) if lane_active[k]]
             statuses = list(pool.map(do_step, active_idx))
@@ -160,6 +232,7 @@ def _solve_bucket(store, bucket_pairs, params: Parameters,
                 slots[k] = None
                 lane_active[k] = False
                 las[k] = lbs[k] = 1
+                upd_n[k] = 0
                 swap = ia > ib
                 if swap:
                     columns = [(y, x, w) for (x, y, w) in columns]
