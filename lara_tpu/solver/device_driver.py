@@ -42,25 +42,21 @@ def _round_up(value: int, quantum: int) -> int:
 
 
 def _hybrid_available() -> bool:
-    """Hybrid = device DP + native C++ bookkeeping + lane refill.  Default on
-    a single device when the native library builds; the fused all-device
-    while_loop remains for multi-chip shard_map runs (LARA_SOLVER=fused
-    forces it, LARA_SOLVER=hybrid forces hybrid)."""
+    """Hybrid = device DP + native C++ bookkeeping + lane refill
+    (LARA_SOLVER=hybrid).  The fused all-device while_loop is the default:
+    after the edge-major/segmented-scan redesign its per-iteration device
+    cost is far below one host<->device round trip, so the hybrid split only
+    pays off when per-iteration transfers are free (local CPU experiments)."""
     import os
 
-    mode = os.environ.get("LARA_SOLVER", "")
-    if mode == "fused":
+    if os.environ.get("LARA_SOLVER", "") != "hybrid":
         return False
     try:
-        import jax
-
         from lara_tpu.native import lagrange
 
         lagrange._load()
-        if mode == "hybrid":
-            return True
-        return len(jax.devices()) == 1
-    except Exception as exc:  # no toolchain / no devices info
+        return True
+    except Exception as exc:  # no toolchain
         log(2, f"   * hybrid backend unavailable ({exc}); using fused")
         return False
 
@@ -166,6 +162,7 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
     sscore = np.zeros((bp, dcap), np.int32)
     rev = np.zeros((bp, dcap), np.int32)
     dvalid = np.zeros((bp, dcap), bool)
+    qperm = np.broadcast_to(np.arange(dcap, dtype=np.int32), (bp, dcap)).copy()
     las = np.concatenate([las, np.ones(bp - b, np.int32)])
     lbs = np.concatenate([lbs, np.ones(bp - b, np.int32)])
     for k, m in enumerate(models):
@@ -181,6 +178,7 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
             sscore[k, :d] = m.sscore
             rev[k, :d] = m.rev
             dvalid[k, :d] = True
+            qperm[k, :d] = m.qperm
 
     batch = device_solver.BatchModel(
         seq_score=jnp.asarray(seq_score.reshape(bp, ne)),
@@ -190,6 +188,7 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
         sscore=jnp.asarray(sscore),
         rev=jnp.asarray(rev),
         dvalid=jnp.asarray(dvalid),
+        qperm=jnp.asarray(qperm),
         la=jnp.asarray(las),
         lb=jnp.asarray(lbs),
     )
@@ -218,18 +217,8 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
     best_upper = np.asarray(result.best_upper)
     iterations = np.asarray(result.iterations)
     dual_q = np.asarray(result.dual_at_queue)
-    overflow = np.asarray(result.overflow)
 
     for k, (ia, ib) in enumerate(chunk):
-        if overflow[k]:
-            # matching candidate cap exceeded at some iteration: the greedy
-            # queue may have been truncated, so redo this pair exactly on the
-            # scalar path (rare: needs >2048 line-interactions live at once)
-            from lara_tpu.solver import reference_driver
-
-            log(1, f"   * pair {(ia, ib)}: matching cap exceeded, scalar redo")
-            yield reference_driver.solve_pair(store[ia], store[ib], params, (ia, ib))
-            continue
         n = int(best_nlines[k])
         lines = [tuple(x) for x in best_lines[k, :n]]
         matched = best_matched[k, :n]

@@ -55,7 +55,12 @@ def _align(pssm, la, lb, go, ge, la_max: int, lb_max: int):
 
 
 class BatchModel(NamedTuple):
-    """Static per-batch problem data (padded)."""
+    """Static per-batch problem data (padded).
+
+    Dual arrays are edge-major (sorted by (l, m): one contiguous run per
+    alignment edge); ``qperm`` maps matching-queue position -> edge-major
+    index (see :mod:`lara_tpu.solver.interactions`).
+    """
 
     seq_score: jax.Array   # [B, NE] int32 (flat la*lb grid padded to LA*LB)
     active: jax.Array      # [B, NE] bool
@@ -64,8 +69,36 @@ class BatchModel(NamedTuple):
     sscore: jax.Array      # [B, D] int32
     rev: jax.Array         # [B, D] int32
     dvalid: jax.Array      # [B, D] bool
+    qperm: jax.Array       # [B, D] int32
     la: jax.Array          # [B] int32
     lb: jax.Array          # [B] int32
+
+
+def _shift_right(x: jax.Array, s: int, fill) -> jax.Array:
+    return jnp.concatenate(
+        [jnp.full((x.shape[0], s), fill, x.dtype), x[:, :-s]], axis=1)
+
+
+def _shift_left(x: jax.Array, s: int, fill) -> jax.Array:
+    return jnp.concatenate(
+        [x[:, s:], jnp.full((x.shape[0], s), fill, x.dtype)], axis=1)
+
+
+def _run_reduce(vals: jax.Array, seg: jax.Array, op, fill) -> jax.Array:
+    """Per-element reduction over the contiguous run of equal ``seg`` values
+    containing it (``seg`` sorted along axis 1).  Masked doubling: log2(D)
+    shifted elementwise steps in each direction -- the priority-queue
+    replacement with no scatter/gather at all."""
+    d = vals.shape[1]
+    fwd, bwd = vals, vals
+    s = 1
+    while s < d:
+        fwd = op(fwd, jnp.where(
+            _shift_right(seg, s, -1) == seg, _shift_right(fwd, s, fill), fill))
+        bwd = op(bwd, jnp.where(
+            _shift_left(seg, s, -1) == seg, _shift_left(bwd, s, fill), fill))
+        s *= 2
+    return op(fwd, bwd)
 
 
 class SolveConfig(NamedTuple):
@@ -85,12 +118,10 @@ class BatchResult(NamedTuple):
     best_matched: jax.Array  # [B, LCAP] bool
     dual_at_queue: jax.Array  # [B, D] int32
     iterations: jax.Array    # [B] int32
-    overflow: jax.Array      # [B] bool: matching candidate cap exceeded
 
 
 class _Carry(NamedTuple):
     dual: jax.Array
-    overflow: jax.Array
     dual_at_queue: jax.Array
     step_factor: jax.Array
     nondecr: jax.Array
@@ -108,7 +139,6 @@ class _Carry(NamedTuple):
 def _init_carry(b: int, d: int, lcap: int, step_factor0, num_iterations: int) -> "_Carry":
     return _Carry(
         dual=jnp.zeros((b, d), I32),
-        overflow=jnp.zeros((b,), bool),
         dual_at_queue=jnp.zeros((b, d), I32),
         step_factor=jnp.full((b,), step_factor0, F32),
         nondecr=jnp.zeros((b,), I32),
@@ -133,7 +163,6 @@ def _result_of(final: "_Carry") -> BatchResult:
         best_matched=final.best_matched,
         dual_at_queue=final.dual_at_queue,
         iterations=final.iterations,
-        overflow=final.overflow,
     )
 
 
@@ -197,14 +226,24 @@ def solve_batch_chunk(
     def take(arr2d, idx):
         return jnp.take_along_axis(arr2d, idx, axis=1)
 
+    # static queue-order views for the matching (one-time gathers per chunk)
+    ql = take(model.dual_l, model.qperm)
+    qm = take(model.dual_m, model.qperm)
+    qw2 = 2 * take(model.sscore, model.qperm)
+
     def body(state):
         steps, c = state
         act = c.lane_active
         dual_at_queue = jnp.where(act[:, None], c.dual, c.dual_at_queue)
 
-        # ---- PSSM: segment max over duals (priority-queue replacement) ----
+        # ---- per-edge maxima: masked doubling over edge-major runs (the
+        # priority-queue replacement; no grid round trips) ----
         profits = model.sscore + c.dual
         masked = jnp.where(model.dvalid, profits, NEG_INF)
+        mpp_l = _run_reduce(masked, model.dual_l, jnp.maximum, NEG_INF)
+        is_top = model.dvalid & (profits == mpp_l)
+
+        # ---- PSSM grid (the only scatter: D entries -> dense DP input) ----
         flat_idx = (model.dual_l + batch_offset).reshape(-1)
         mpp = jnp.full((b * ne,), NEG_INF, I32).at[flat_idx].max(
             masked.reshape(-1)).reshape(b, ne)
@@ -216,58 +255,61 @@ def solve_batch_chunk(
         tb = _align(pssm, model.la, model.lb, go, ge, la_max, lb_max)
         upper = tb.upper
 
-        # ---- current solution as a dense edge set ----
+        # ---- current solution: line slots (sentinel ne for invalid) ----
         k_idx = jnp.arange(lcap, dtype=I32)[None, :]
         line_valid = k_idx < tb.n_lines[:, None]
         line_edges = jnp.clip(tb.lines[:, :, 0] * lb_max + tb.lines[:, :, 1], 0, ne - 1)
-        in_sol = jnp.zeros((b * ne,), bool).at[
-            (line_edges + batch_offset).reshape(-1)
-        ].max(line_valid.reshape(-1)).reshape(b, ne)
+        line_sel = jnp.where(line_valid, line_edges, ne)
 
-        seq_part = jnp.sum(jnp.where(in_sol, model.seq_score, 0), axis=1)
+        seq_part = jnp.sum(
+            jnp.where(line_valid, take(model.seq_score, line_edges), 0), axis=1)
+
+        # ---- membership of each entry's endpoints in the current lines:
+        # fused compare-reduce against the <= LCAP line ids (no gather) ----
+        l_in = jnp.any(model.dual_l[:, :, None] == line_sel[:, None, :], axis=2)
+        m_in = jnp.any(model.dual_m[:, :, None] == line_sel[:, None, :], axis=2)
 
         # ---- subgradients (lagrange.hpp:343-374) ----
-        mpp_l = take(mpp, model.dual_l)
-        mpp_m = take(mpp, model.dual_m)
-        l_in = take(in_sol, model.dual_l)
-        m_in = take(in_sol, model.dual_m)
-        profit_rev = take(profits, model.rev)
-        pick = model.dvalid & l_in & (mpp_l >= 0) & (profits == mpp_l)
-        cycle = m_in & (mpp_m >= 0) & (profit_rev == mpp_m)
-        sg_pos = pick & ~cycle
-        sg = sg_pos.astype(I32) - take(sg_pos, model.rev).astype(I32)
+        # cycle(i) = pick(rev(i)) by symmetry (l_in[rev] = m_in, mpp_l[rev] =
+        # mpp at dual_m, profits[rev] == its own run max), so one boolean
+        # gather replaces five integer ones
+        pick = l_in & (mpp_l >= 0) & is_top
+        pick_rev = take(pick, model.rev)
+        sg_pos = pick & ~pick_rev
+        sg = sg_pos.astype(I32) - (pick_rev & ~pick).astype(I32)
         count = 2 * jnp.sum(sg_pos, axis=1).astype(I32)
         any_sg = count > 0
 
         # ---- consistent branch (lagrange.hpp:397-409) ----
         # top queue entry per edge: max profit, tie -> smallest partner id,
         # with the self entry at profit 0 / partner id == own edge id.
-        m_top = jnp.full((b * ne,), ne, I32).at[flat_idx].min(
-            jnp.where(model.dvalid & (profits == mpp_l), model.dual_m, ne).reshape(-1)
-        ).reshape(b, ne)
-        edge_ids = jnp.arange(ne, dtype=I32)[None, :]
-        top_is_self = (mpp < 0) | ((mpp == 0) & (edge_ids < m_top))
-        top_not_self = in_sol & ~top_is_self
-        tis_l = take(top_is_self, model.dual_l)
-        m_top_l = take(m_top, model.dual_l)
-        contrib = model.dvalid & l_in & ~tis_l & (profits == mpp_l) & (model.dual_m == m_top_l)
+        m_top_l = _run_reduce(
+            jnp.where(is_top, model.dual_m, ne), model.dual_l, jnp.minimum, I32(ne))
+        tis_l = (mpp_l < 0) | ((mpp_l == 0) & (model.dual_l < m_top_l))
+        contrib = l_in & ~tis_l & is_top & (model.dual_m == m_top_l)
         consistent_sum = jnp.sum(jnp.where(contrib, model.sscore, 0), axis=1)
-        matched_m = jnp.zeros((b * ne,), bool).at[
-            (model.dual_m + batch_offset).reshape(-1)
-        ].max(contrib.reshape(-1)).reshape(b, ne)
-        matched_cons = in_sol & (top_not_self | matched_m)
+
+        # per-line matched state (compare-reduce over entries, no scatter):
+        # line k is matched iff its own top partner is real (top_not_self) or
+        # some contributing entry points at it (matched_m)
+        mpp_line = take(mpp, line_edges)
+        m_top_line = jnp.min(
+            jnp.where(
+                is_top[:, None, :] & (model.dual_l[:, None, :] == line_sel[:, :, None]),
+                model.dual_m[:, None, :], ne),
+            axis=2)
+        top_not_self_line = ~((mpp_line < 0) | ((mpp_line == 0) & (line_sel < m_top_line)))
+        matched_m_line = jnp.any(
+            contrib[:, None, :] & (model.dual_m[:, None, :] == line_sel[:, :, None]),
+            axis=2)
+        matched_cons_line = line_valid & (top_not_self_line | matched_m_line)
 
         # ---- matching branch (lagrange.hpp:380-395) ----
-        # edge id -> line slot map; matching state is per line slot (<= lcap)
-        slot_of = jnp.full((b, ne + 1), lcap, I32)
-        write_col = jnp.where(line_valid, line_edges, ne)
-        slot_of = slot_of.at[lane[:, None], write_col].set(
-            jnp.where(line_valid, k_idx, lcap))
-        cand = model.dvalid & l_in & m_in & (model.dual_l < model.dual_m) \
+        cand_e = model.dvalid & l_in & m_in & (model.dual_l < model.dual_m) \
             & any_sg[:, None] & act[:, None]
+        cand_q = take(cand_e, model.qperm)
         match_res = greedy_matching_rounds(
-            2 * model.sscore, model.dual_l, model.dual_m, cand, slot_of,
-            lookahead, lcap,
+            qw2, ql, qm, cand_q, line_sel, lookahead, ne,
         )
         struct_part = jnp.where(any_sg, match_res.score, consistent_sum)
 
@@ -276,7 +318,7 @@ def solve_batch_chunk(
         # ---- best primal tracking (lagrange.hpp:416-421) ----
         better = act & (lower > c.best_score)
         line_matched = jnp.where(
-            any_sg[:, None], match_res.used_slot, take(matched_cons, line_edges)
+            any_sg[:, None], match_res.used_slot, matched_cons_line
         ) & line_valid
         best_score = jnp.where(better, lower, c.best_score)
         best_lines = jnp.where(better[:, None, None], tb.lines, c.best_lines)
@@ -305,7 +347,6 @@ def solve_batch_chunk(
 
         return steps + 1, _Carry(
             dual=dual,
-            overflow=c.overflow | (act & match_res.overflow),
             dual_at_queue=dual_at_queue,
             step_factor=step_factor,
             nondecr=nondecr,

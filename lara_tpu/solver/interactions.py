@@ -14,9 +14,15 @@ On device, "max profit partner per edge" becomes a segment max over
 ``dual_l`` -- recompute beats incremental priority-queue surgery on a vector
 machine (SURVEY §7).
 
-Construction order is edge-major like the reference loop; order only affects
-internal dual numbering, never results (ties are resolved by partner edge id,
-not dual id).
+Array order is **edge-major** (sorted by (l, m), the construction order of
+the reference loop): entries of one alignment edge are contiguous, so the
+device solver computes per-edge maxima with masked doubling scans instead of
+scatter/gather round trips through the dense edge grid.  ``qperm`` carries
+the static matching-queue order (-2*score, lineL, lineR --
+``matching.hpp:149-151``; duals never enter the queue key) as a permutation,
+so the device matching reads its candidates presorted without a per-iteration
+sort.  Order only affects internal dual numbering, never results (ties are
+resolved by partner edge id, not dual id).
 """
 
 from __future__ import annotations
@@ -40,10 +46,11 @@ class PairModel:
     seq_b: np.ndarray
     active: np.ndarray     # [la, lb] bool (edge filter result)
     seq_score: np.ndarray  # [la, lb] int32 scaled sequence profits
-    dual_l: np.ndarray     # [D] int32
+    dual_l: np.ndarray     # [D] int32 (edge-major: sorted by (l, m))
     dual_m: np.ndarray     # [D] int32
     sscore: np.ndarray     # [D] int32
     rev: np.ndarray        # [D] int32
+    qperm: np.ndarray      # [D] int32: queue position -> edge-major index
 
 
 def adjacency_arrays(record: RnaRecord, length: int, precise: bool):
@@ -98,7 +105,7 @@ def build_pair_model(
     if e_count == 0:
         empty = np.zeros(0, dtype=np.int32)
         return PairModel(la, lb, seq_a, seq_b, act, seq_score,
-                         empty, empty, empty, empty)
+                         empty, empty, empty, empty, empty)
 
     # [E, KA, KB] candidate partner coordinates
     a2 = pa[a_ids][:, :, None]                      # [E, KA, 1]
@@ -126,28 +133,23 @@ def build_pair_model(
         np.float32(params.balance) * ssum / np.float32(2.0) * np.float32(8192.0)
     ).astype(np.int32)
 
-    # reverse index: (m, l) always exists
-    order = np.lexsort((m_edge, l_edge))  # construction order is already sorted
+    # enforce the edge-major invariant: sorted by (l, m) so each edge's
+    # entries are one contiguous run (construction order is already l-major;
+    # this also orders partners ascending within a run)
+    order = np.lexsort((m_edge, l_edge))
+    l_edge = l_edge[order]
+    m_edge = m_edge[order]
+    sscore = sscore[order]
+
+    # reverse index: (m, l) always exists, found by binary search on (l, m)
     keys_lm = l_edge.astype(np.int64) * (la * lb) + m_edge
     keys_ml = m_edge.astype(np.int64) * (la * lb) + l_edge
-    sorted_keys = keys_lm[order]
-    pos = np.searchsorted(sorted_keys, keys_ml)
-    rev = order[pos].astype(np.int32)
+    rev = np.searchsorted(keys_lm, keys_ml).astype(np.int32)
     assert np.array_equal(l_edge[rev], m_edge) and np.array_equal(m_edge[rev], l_edge), \
         "interaction table is not symmetric"
 
-    # permute into matching-queue order: the greedy queue key is the STATIC
-    # structure score (matching.hpp:149-151; interaction[].score never sees
-    # duals), so the std::set order (-2*score, lineL, lineR) is fixed per
-    # pair.  Storing the dual arrays presorted lets the device matching skip
-    # the per-iteration sort entirely (it compacts candidates in array order).
-    perm = np.lexsort((m_edge, l_edge, -2 * sscore.astype(np.int64)))
-    inv = np.empty_like(perm)
-    inv[perm] = np.arange(len(perm))
-    l_edge = l_edge[perm]
-    m_edge = m_edge[perm]
-    sscore = sscore[perm]
-    rev = inv[rev[perm]].astype(np.int32)
+    # static matching-queue order as a permutation (see module docstring)
+    qperm = np.lexsort((m_edge, l_edge, -2 * sscore.astype(np.int64))).astype(np.int32)
 
     return PairModel(la, lb, seq_a, seq_b, act, seq_score,
-                     l_edge, m_edge, sscore, rev)
+                     l_edge, m_edge, sscore, rev, qperm)

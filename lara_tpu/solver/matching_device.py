@@ -9,11 +9,15 @@ so the whole subgradient loop can stay inside one ``lax.while_loop`` on TPU:
 * the monotone queue scan with lookahead selection becomes a while_loop with
   per-lane pointers (one queue entry per step; total steps bounded by the
   true per-lane candidate count, not the padded size),
-* ``solveConflicts`` -- a recursive branch-and-prune search -- runs as an
-  explicit stack machine over conflict bitmasks.  Fuzzing showed no simple
-  tie-break rule reproduces the recursion on exact weight ties (~0.2% of
-  resolutions), so the recursion itself is executed: depth <= #conflicts+1,
-  conflict sets are <=28-bit masks for lookahead <= 8.
+* ``solveConflicts`` -- a recursive branch-and-prune search -- is evaluated
+  by memoized subset enumeration (:func:`_solve_conflicts_enum`): every
+  recursion state is a pure function of the remaining-conflict mask, which
+  is always ``full & ~OR(touch[e] for e in eliminated)``, so the <= 2^lh
+  distinct states are filled bottom-up (popcount-descending) in one static
+  unrolled pass of [B]-vector ops -- no data-dependent control flow at all.
+  Fuzzing showed no simple tie-break rule reproduces the recursion on exact
+  weight ties (~0.2% of resolutions), so the recursion's exact branch
+  structure is replayed per state.
 
 All lanes of the batch run their own state machine under masks; lanes without
 work finish immediately.
@@ -34,10 +38,6 @@ I32 = jnp.int32
 # lines * 2^18 in practice, like the reference's int32 ScoreType).
 I64 = jnp.int32
 
-# stack-machine modes
-_CALL, _RET = 0, 1
-
-
 def _conflict_tables(lh: int) -> Tuple[np.ndarray, np.ndarray]:
     """Static pair enumeration in reference order: (0,1),(0,2),..,(1,2),..."""
     cx, cy = [], []
@@ -48,8 +48,8 @@ def _conflict_tables(lh: int) -> Tuple[np.ndarray, np.ndarray]:
     return np.asarray(cx, np.int32), np.asarray(cy, np.int32)
 
 
-def _solve_conflicts_machine(sel_l, sel_m, sel_w, sel_cnt, engaged, lh: int):
-    """Vectorized ``solveConflicts`` stack machine.
+def _solve_conflicts_enum(sel_l, sel_m, sel_w, sel_cnt, engaged, lh: int):
+    """Vectorized ``solveConflicts`` via memoized subset enumeration.
 
     Inputs: selection slots [B, LH] (line ids l < m, weights w = 2*score) and
     per-lane live counts; ``engaged`` masks lanes that resolve this round.
@@ -59,7 +59,12 @@ def _solve_conflicts_machine(sel_l, sel_m, sel_w, sel_cnt, engaged, lh: int):
     conflict, preferring to eliminate edgeS (the tuple-greater = lighter
     interaction; since the selection is in queue order, the higher slot
     index), exploring the edgeL branch only when the S branch is strictly
-    heavier, with the equal-subtree prune.
+    heavier, with the equal-subtree prune.  Every recursive call's conflict
+    list is the original list filtered by the eliminated-slot set E, so
+    ``solve(mask(E))`` is memoized over the 2^lh subsets E, evaluated
+    popcount-descending; each state is straight-line vector math over [B]
+    (gathers into the [B, 2^lh] memo), replacing the former per-lane stack
+    machine whose nested while_loop dominated the solver iteration.
     """
     b = sel_l.shape[0]
     n_conf = lh * (lh - 1) // 2
@@ -93,187 +98,80 @@ def _solve_conflicts_machine(sel_l, sel_m, sel_w, sel_cnt, engaged, lh: int):
         jnp.where(involves & conf_active[:, None, :], conf_bits[:, None, :], 0), axis=2
     ).astype(I32)  # [B, LH]
 
-    depth = n_conf + 2
-    zeros_i = jnp.zeros((b, depth), I32)
-    zeros_l = jnp.zeros((b, depth), I64)
+    n_sub = 1 << lh
 
-    class _St(NamedTuple):
-        active: jax.Array      # lanes still running the machine
-        mode: jax.Array        # [B] CALL / RET
-        arg_mask: jax.Array    # [B] CALL argument
-        res_elim: jax.Array    # [B] return register: eliminate slot-mask
-        res_w: jax.Array       # [B] return register: eliminated weight
-        sp: jax.Array          # [B] stack pointer
-        f_mask: jax.Array      # [B, depth]
-        f_phase: jax.Array
-        f_es: jax.Array
-        f_el: jax.Array
-        f_ws_edge: jax.Array   # [B, depth] i64
-        f_wl_edge: jax.Array
-        f_elim_s: jax.Array
-        f_ws_tot: jax.Array
-        f_rem_s: jax.Array
-
-    st = _St(
-        active=engaged,
-        mode=jnp.zeros((b,), I32),
-        arg_mask=full_mask,
-        res_elim=jnp.zeros((b,), I32),
-        res_w=jnp.zeros((b,), I64),
-        sp=jnp.zeros((b,), I32),
-        f_mask=zeros_i, f_phase=zeros_i, f_es=zeros_i, f_el=zeros_i,
-        f_ws_edge=zeros_l, f_wl_edge=zeros_l, f_elim_s=zeros_i,
-        f_ws_tot=zeros_l, f_rem_s=zeros_i,
-    )
-
-    lane = jnp.arange(b, dtype=I32)
+    # remaining-conflict mask per elimination subset E:
+    # mask(E) = full & ~OR(touch[e] for e in E), built by lowest-bit recursion
+    mask_cols = [full_mask]
+    for e_set in range(1, n_sub):
+        low = (e_set & -e_set).bit_length() - 1
+        mask_cols.append(mask_cols[e_set & (e_set - 1)] & ~touch[:, low])
+    mask_e = jnp.stack(mask_cols, axis=1)  # [B, 2^lh]
 
     def lowest_bit_index(mask):
-        # index of least-significant set bit (mask != 0)
+        # index of least-significant set bit (mask != 0); n_conf < 2^24 so
+        # the float32 log2 is exact
         return jnp.int32(jnp.round(jnp.log2(jnp.float32(mask & -mask) + (mask == 0))))
 
-    def popcount(mask):
-        c = jnp.zeros_like(mask)
-        m = mask
-        for _ in range(n_conf):
-            c = c + (m & 1)
-            m = m >> 1
-        return c
+    # first conflict per state and its S/L slots (S = higher slot: selection
+    # is in queue order, so the higher slot is the tuple-greater = lighter)
+    c0 = lowest_bit_index(mask_e)  # [B, 2^lh]
+    c0c = jnp.clip(c0, 0, n_conf - 1)
+    s_slot = cy[c0c]  # cy > cx by construction
+    l_slot = cx[c0c]
+    w_s = jnp.take_along_axis(sel_w, s_slot, axis=1).astype(I64)
+    w_l = jnp.take_along_axis(sel_w, l_slot, axis=1).astype(I64)
+    empty = mask_e == 0
+    single = ~empty & ((mask_e & (mask_e - 1)) == 0)
+    s_bit = jnp.left_shift(jnp.ones((), I32), s_slot)
+    l_bit = jnp.left_shift(jnp.ones((), I32), l_slot)
+    sub_s_idx = jnp.arange(n_sub, dtype=I32)[None, :] | s_bit
+    sub_l_idx = jnp.arange(n_sub, dtype=I32)[None, :] | l_bit
+    mask_after_s = jnp.take_along_axis(mask_e, sub_s_idx, axis=1)
+    mask_after_l = jnp.take_along_axis(mask_e, sub_l_idx, axis=1)
 
-    def getw(slot):
-        return jnp.take_along_axis(sel_w.astype(I64), slot[:, None], axis=1)[:, 0]
+    # memo over subsets, filled popcount-descending (supersets first)
+    res_w = jnp.zeros((b, n_sub), I64)
+    res_elim = jnp.zeros((b, n_sub), I32)
+    for e_set in sorted(range(n_sub), key=lambda s: -bin(s).count("1")):
+        if e_set == n_sub - 1:
+            continue  # all slots eliminated: mask is empty, memo already 0
+        sub_s = jnp.take_along_axis(res_w, sub_s_idx[:, e_set : e_set + 1], axis=1)
+        sub_s_elim = jnp.take_along_axis(
+            res_elim, sub_s_idx[:, e_set : e_set + 1], axis=1)
+        sub_l = jnp.take_along_axis(res_w, sub_l_idx[:, e_set : e_set + 1], axis=1)
+        sub_l_elim = jnp.take_along_axis(
+            res_elim, sub_l_idx[:, e_set : e_set + 1], axis=1)
+        sl = slice(e_set, e_set + 1)
+        weight_s = w_s[:, sl] + sub_s
+        weight_l = w_l[:, sl] + sub_l
+        # explore the L branch only when the S branch is strictly heavier and
+        # the two filtered conflict lists differ (matching.hpp:121-133)
+        explore = (weight_s > w_l[:, sl]) & (mask_after_s[:, sl] != mask_after_l[:, sl])
+        l_wins = explore & (weight_s > weight_l)
+        val_w = jnp.where(
+            empty[:, sl], I64(0),
+            jnp.where(single[:, sl], w_s[:, sl],
+                      jnp.where(l_wins, weight_l, weight_s)))
+        val_elim = jnp.where(
+            empty[:, sl], 0,
+            jnp.where(single[:, sl], s_bit[:, sl],
+                      jnp.where(l_wins, sub_l_elim | l_bit[:, sl],
+                                sub_s_elim | s_bit[:, sl])))
+        res_w = jax.lax.dynamic_update_slice(res_w, val_w, (0, e_set))
+        res_elim = jax.lax.dynamic_update_slice(res_elim, val_elim, (0, e_set))
 
-    def gett(slot):
-        return jnp.take_along_axis(touch, slot[:, None], axis=1)[:, 0]
-
-    def body(st: _St) -> _St:
-        is_call = st.active & (st.mode == _CALL)
-        is_ret = st.active & (st.mode == _RET)
-
-        # ---- CALL ----
-        mask = st.arg_mask
-        empty = mask == 0
-        c0 = lowest_bit_index(mask)
-        x = cx[jnp.clip(c0, 0, n_conf - 1)]
-        y = cy[jnp.clip(c0, 0, n_conf - 1)]
-        e_s = jnp.maximum(x, y)  # higher slot = tuple-greater = lighter
-        e_l = jnp.minimum(x, y)
-        w_s = getw(e_s)
-        w_l = getw(e_l)
-        single = popcount(mask) == 1
-        rem_s = mask & ~gett(e_s)
-
-        # leaf returns
-        leaf = empty | single
-        leaf_elim = jnp.where(empty, 0, jnp.left_shift(jnp.ones((), I32), e_s))
-        leaf_w = jnp.where(empty, I64(0), w_s)
-
-        # push frame and recurse on rem_s
-        do_push = is_call & ~leaf
-        sp_idx = jnp.clip(st.sp, 0, depth - 1)
-
-        def stk_set(arr, val):
-            cur = arr[lane, sp_idx]
-            return arr.at[lane, sp_idx].set(jnp.where(do_push, val, cur))
-
-        f_mask = stk_set(st.f_mask, mask)
-        f_phase = stk_set(st.f_phase, jnp.ones((b,), I32))
-        f_es = stk_set(st.f_es, e_s)
-        f_el = stk_set(st.f_el, e_l)
-        f_ws_edge = stk_set(st.f_ws_edge, w_s)
-        f_wl_edge = stk_set(st.f_wl_edge, w_l)
-        f_rem_s = stk_set(st.f_rem_s, rem_s)
-
-        call_sp = jnp.where(do_push, st.sp + 1, st.sp)
-        call_mode = jnp.where(do_push, _CALL, _RET)
-        call_arg = jnp.where(do_push, rem_s, st.arg_mask)
-        call_res_elim = jnp.where(leaf, leaf_elim, st.res_elim)
-        call_res_w = jnp.where(leaf, leaf_w, st.res_w)
-
-        # ---- RET ----
-        at_bottom = st.sp == 0
-        fp = jnp.clip(st.sp - 1, 0, depth - 1)
-        fr_mask = f_mask[lane, fp]
-        fr_phase = f_phase[lane, fp]
-        fr_es = f_es[lane, fp]
-        fr_el = f_el[lane, fp]
-        fr_ws_edge = f_ws_edge[lane, fp]
-        fr_wl_edge = f_wl_edge[lane, fp]
-        fr_elim_s = st.f_elim_s[lane, fp]
-        fr_ws_tot = st.f_ws_tot[lane, fp]
-        fr_rem_s = f_rem_s[lane, fp]
-
-        # phase 1: child was the S branch
-        ws_tot = fr_ws_edge + st.res_w
-        rem_l = fr_mask & ~gett(fr_el)
-        explore_l = (ws_tot > fr_wl_edge) & (fr_rem_s != rem_l)
-        # finalize S now if not exploring L
-        fin_s_elim = st.res_elim | jnp.left_shift(jnp.ones((), I32), fr_es)
-        # phase 2: child was the L branch
-        wl_tot = fr_wl_edge + st.res_w
-        l_wins = fr_ws_tot > wl_tot
-        fin2_elim = jnp.where(
-            l_wins, st.res_elim | jnp.left_shift(jnp.ones((), I32), fr_el),
-            fr_elim_s | jnp.left_shift(jnp.ones((), I32), fr_es),
-        )
-        fin2_w = jnp.where(l_wins, wl_tot, fr_ws_tot)
-
-        in_p1 = is_ret & ~at_bottom & (fr_phase == 1)
-        in_p2 = is_ret & ~at_bottom & (fr_phase == 2)
-
-        # phase-1 lanes that explore L: update frame, call with rem_l
-        upd = in_p1 & explore_l
-        f_phase = f_phase.at[lane, fp].set(jnp.where(upd, 2, f_phase[lane, fp]))
-        f_elim_s = st.f_elim_s.at[lane, fp].set(
-            jnp.where(upd, st.res_elim, fr_elim_s))
-        f_ws_tot = st.f_ws_tot.at[lane, fp].set(jnp.where(upd, ws_tot, fr_ws_tot))
-
-        pop_p1 = in_p1 & ~explore_l
-        pop_p2 = in_p2
-        pops = pop_p1 | pop_p2
-
-        ret_sp = jnp.where(pops, st.sp - 1, st.sp)
-        ret_mode = jnp.where(upd, _CALL, _RET)
-        ret_arg = jnp.where(upd, rem_l, st.arg_mask)
-        ret_res_elim = jnp.where(pop_p1, fin_s_elim,
-                                 jnp.where(pop_p2, fin2_elim, st.res_elim))
-        ret_res_w = jnp.where(pop_p1, ws_tot, jnp.where(pop_p2, fin2_w, st.res_w))
-
-        done_now = is_ret & at_bottom
-
-        # merge CALL / RET lane updates
-        new = _St(
-            active=st.active & ~done_now,
-            mode=jnp.where(is_call, call_mode, jnp.where(is_ret, ret_mode, st.mode)),
-            arg_mask=jnp.where(is_call, call_arg, jnp.where(is_ret, ret_arg, st.arg_mask)),
-            res_elim=jnp.where(is_call, call_res_elim,
-                               jnp.where(is_ret, ret_res_elim, st.res_elim)),
-            res_w=jnp.where(is_call, call_res_w,
-                            jnp.where(is_ret, ret_res_w, st.res_w)),
-            sp=jnp.where(is_call, call_sp, jnp.where(is_ret, ret_sp, st.sp)),
-            f_mask=f_mask, f_phase=f_phase, f_es=f_es, f_el=f_el,
-            f_ws_edge=f_ws_edge, f_wl_edge=f_wl_edge, f_elim_s=f_elim_s,
-            f_ws_tot=f_ws_tot, f_rem_s=f_rem_s,
-        )
-        return new
-
-    def cond(st: _St):
-        return jnp.any(st.active)
-
-    final = jax.lax.while_loop(cond, body, st)
-    return final.res_elim  # [B] slot bitmask
+    return jnp.where(engaged, res_elim[:, 0], 0)  # [B] slot bitmask
 
 
 class RoundsResult(NamedTuple):
     score: jax.Array      # [B] int32: sum of accepted 2*score weights
     used_slot: jax.Array  # [B, LCAP] bool: line slot is matched
-    overflow: jax.Array   # [B] bool: candidate count exceeded the cap
 
 
-@functools.partial(jax.jit, static_argnames=("lookahead", "lcap", "cap"))
-def greedy_matching_rounds(w2, l_edge, m_edge, cand, slot_of,
-                           lookahead: int, lcap: int, cap: int = 2048
-                           ) -> RoundsResult:
+@functools.partial(jax.jit, static_argnames=("lookahead", "ne"))
+def greedy_matching_rounds(w2, l_edge, m_edge, cand, line_edges,
+                           lookahead: int, ne: int) -> RoundsResult:
     """Round-vectorized greedy lookahead matching over PRESORTED candidates.
 
     The queue weight is the static structure score (``matching.hpp:149-151``;
@@ -282,102 +180,97 @@ def greedy_matching_rounds(w2, l_edge, m_edge, cand, slot_of,
     sort disappears.  The reference's entry-at-a-time scan collapses into
     *rounds*: contacts only ever grow, so between two conflict resolutions
     the "skip if endpoint already matched" predicate is constant -- the next
-    ``lookahead`` unblocked entries are found with one cumsum per round
-    instead of one loop step per queue entry.  Entries passed over by the
-    scan pointer stay dead (exactly the reference's forward-only iterator).
+    ``lookahead`` unblocked entries are found with one masked min-reduction
+    per lookahead slot instead of one loop step per queue entry.  Entries
+    passed over by the scan pointer stay dead (the reference's forward-only
+    iterator).  The round body is scatter-free: endpoint blocking is updated
+    by comparing the endpoint columns against the <= 2*lh newly matched edge
+    ids (everything fuses on the VPU), and the matched-endpoint set lives as
+    one dense [B, NE] bitmap scattered with <= 2*lh indices per round.
 
-    ``w2/l_edge/m_edge/cand`` are [B, D] in queue order; ``slot_of`` is
-    [B, NE+1] mapping edge ids to line slots (``lcap`` = invalid) so the
-    matched-state array is per *line slot* (<= lcap), not per edge.
+    ``w2/l_edge/m_edge/cand`` are [B, D] in queue order; ``line_edges`` is
+    [B, LCAP] (flat edge id per alignment line slot) used to read the
+    matched state back per line slot; ``ne`` (static) is the edge-id space
+    size (la_max * lb_max).
     """
     b, d = w2.shape
     lh = max(1, min(int(lookahead), 8))
-    cap = min(cap, d)
     lane = jnp.arange(b, dtype=I32)
-    ne1 = slot_of.shape[1]
 
-    # --- compact candidates in queue order ---
-    rank = jnp.cumsum(cand, axis=1, dtype=I32) - 1
-    n_cand_full = jnp.sum(cand, axis=1).astype(I32)
-    overflow = n_cand_full > cap
-    n_cand = jnp.minimum(n_cand_full, cap)
-    write = cand & (rank < cap)
-    idx = jnp.where(write, rank, cap)
-
-    def compact(vals, fill):
-        out = jnp.full((b, cap + 1), fill, I32)
-        out = out.at[lane[:, None], idx].set(jnp.where(write, vals.astype(I32), fill))
-        return out[:, :cap]
-
-    wc = compact(w2, 0)
-    lc = compact(l_edge, 0)
-    mc = compact(m_edge, 0)
-    slc = jnp.take_along_axis(slot_of, jnp.clip(lc, 0, ne1 - 1), axis=1)
-    smc = jnp.take_along_axis(slot_of, jnp.clip(mc, 0, ne1 - 1), axis=1)
-
+    n_cand = jnp.sum(cand, axis=1).astype(I32)
     lh_lane = jnp.minimum(I32(lh), n_cand)  # matching.hpp:153-156
-    pos = jnp.arange(cap, dtype=I32)[None, :]
+    pos = jnp.arange(d, dtype=I32)[None, :]
     k_idx = jnp.arange(lh, dtype=I32)[None, :]
 
     class _St(NamedTuple):
-        ptr: jax.Array    # [B]
-        used: jax.Array   # [B, LCAP+1] bool (sentinel col lcap)
-        score: jax.Array  # [B] i32
+        ptr: jax.Array      # [B] queue scan pointer
+        blocked: jax.Array  # [B, D] entry dead (not cand / endpoint matched)
+        score: jax.Array    # [B] i32
 
     state = _St(
         ptr=jnp.zeros((b,), I32),
-        used=jnp.zeros((b, lcap + 1), bool),
+        blocked=~cand,
         score=jnp.zeros((b,), I32),
     )
 
-    def cond(s: _St):
-        return jnp.any(s.ptr < n_cand)
+    def cond(s):
+        st, _used = s
+        return jnp.any(st.ptr < d)
 
-    def body(s: _St) -> _St:
-        engaged = s.ptr < n_cand
-        blocked = jnp.take_along_axis(s.used, slc, axis=1) | \
-            jnp.take_along_axis(s.used, smc, axis=1)
-        ok = (pos >= s.ptr[:, None]) & (pos < n_cand[:, None]) & ~blocked
+    def body(s):
+        st, used = s
+        engaged = st.ptr < d
+        ok = (pos >= st.ptr[:, None]) & ~st.blocked
         r = jnp.cumsum(ok, axis=1, dtype=I32) - 1
         sel = ok & (r < lh_lane[:, None])
         sel_cnt = jnp.sum(sel, axis=1).astype(I32)
         any_sel = sel_cnt > 0
 
-        # scatter the selection into lookahead slots (r < lh for selected)
-        sslot = jnp.where(sel, r, lh)
+        # position of the k-th unblocked entry: masked min per slot
+        sel_pos = jnp.stack(
+            [jnp.min(jnp.where(sel & (r == k), pos, d), axis=1) for k in range(lh)],
+            axis=1,
+        )  # [B, LH]; d = none
+        valid_k = sel_pos < d
+        gp = jnp.clip(sel_pos, 0, d - 1)
+        sel_l = jnp.where(valid_k, jnp.take_along_axis(l_edge, gp, axis=1), 0)
+        sel_m = jnp.where(valid_k, jnp.take_along_axis(m_edge, gp, axis=1), 0)
+        sel_w = jnp.where(valid_k, jnp.take_along_axis(w2, gp, axis=1), 0)
 
-        def gather_sel(vals):
-            out = jnp.zeros((b, lh + 1), I32)
-            out = out.at[lane[:, None], sslot].set(jnp.where(sel, vals, 0))
-            return out[:, :lh]
-
-        sel_l = gather_sel(lc)
-        sel_m = gather_sel(mc)
-        sel_w = gather_sel(wc)
-        sel_sl = gather_sel(slc)
-        sel_sm = gather_sel(smc)
-
-        elim_mask = _solve_conflicts_machine(
+        elim_mask = _solve_conflicts_enum(
             sel_l, sel_m, sel_w, sel_cnt, engaged & any_sel, lh)
-        kept = (engaged & any_sel)[:, None] & (k_idx < sel_cnt[:, None]) & \
+        kept = (engaged & any_sel)[:, None] & valid_k & \
             (((elim_mask[:, None] >> k_idx) & 1) == 0)
 
-        score = s.score + jnp.sum(jnp.where(kept, sel_w, 0), axis=1)
-        used = s.used
-        used = used.at[lane[:, None], jnp.where(kept, sel_sl, lcap)].max(kept)
-        used = used.at[lane[:, None], jnp.where(kept, sel_sm, lcap)].max(kept)
-        used = used.at[:, lcap].set(False)
+        score = st.score + jnp.sum(jnp.where(kept, sel_w, 0), axis=1)
 
-        # the scan stopped at the lh-th unblocked entry (or the queue end)
+        # newly matched endpoints: block every entry sharing one (fused
+        # comparisons, no gather/scatter on the wide arrays)
+        blocked = st.blocked
+        for k in range(lh):
+            lk = sel_l[:, k : k + 1]
+            mk = sel_m[:, k : k + 1]
+            hit = (l_edge == lk) | (l_edge == mk) | (m_edge == lk) | (m_edge == mk)
+            blocked = blocked | (kept[:, k : k + 1] & hit)
+
+        # matched-endpoint bitmap: <= 2*lh writes per lane (sentinel col ne)
+        used = used.at[lane[:, None], jnp.where(kept, sel_l, ne)].max(kept)
+        used = used.at[lane[:, None], jnp.where(kept, sel_m, ne)].max(kept)
+
+        # the scan stopped at the lh-th unblocked entry; a round that found
+        # fewer exhausted the queue (the reference's scan pointer hit the
+        # end), so the lane terminates after this resolution
         sel_end = jnp.max(jnp.where(sel, pos, -1), axis=1)
-        full = sel_cnt >= lh_lane
-        new_ptr = jnp.where(full, sel_end + 1, n_cand)
-        ptr = jnp.where(engaged, new_ptr, s.ptr)
-        return _St(ptr=ptr, used=used, score=score)
+        full_sel = any_sel & (sel_cnt >= lh_lane)
+        new_ptr = jnp.where(full_sel, sel_end + 1, d)
+        ptr = jnp.where(engaged, new_ptr, st.ptr)
+        return _St(ptr=ptr, blocked=blocked, score=score), used
 
-    final = jax.lax.while_loop(cond, body, state)
-    return RoundsResult(score=final.score, used_slot=final.used[:, :lcap],
-                        overflow=overflow)
+    used0 = jnp.zeros((b, ne + 1), bool)
+    (final, used) = jax.lax.while_loop(cond, body, (state, used0))
+    used_slot = jnp.take_along_axis(
+        used, jnp.clip(line_edges, 0, ne), axis=1)
+    return RoundsResult(score=final.score, used_slot=used_slot)
 
 
 class MatchingResult(NamedTuple):
@@ -453,7 +346,7 @@ def greedy_matching_batch(w2, l_edge, m_edge, cand, lookahead: int, n_edges: int
         ptr = jnp.where(scanning, s.ptr + 1, s.ptr)
 
         # --- resolve conflicts for flagged lanes ---
-        elim_mask = _solve_conflicts_machine(sel_l, sel_m, sel_w, sel_cnt, resolving, lh)
+        elim_mask = _solve_conflicts_enum(sel_l, sel_m, sel_w, sel_cnt, resolving, lh)
 
         k_idx = jnp.arange(lh, dtype=I32)[None, :]
         kept = resolving[:, None] & (k_idx < sel_cnt[:, None]) & \

@@ -81,17 +81,12 @@ def test_hybrid_work_stealing_more_pairs_than_lanes():
         assert by_idx[ref.seq_indices].columns == ref.columns
 
 
-def test_hybrid_is_default_backend_when_native_builds(monkeypatch):
+def test_fused_is_default_backend(monkeypatch):
     _native_or_skip()
     from lara_tpu.solver import device_driver
 
     monkeypatch.delenv("LARA_SOLVER", raising=False)
-    # single (CPU) device in tests -> hybrid preferred... unless the test
-    # mesh has 8 virtual devices, in which case fused is expected
-    import jax
-
-    expected = len(jax.devices()) == 1
-    assert device_driver._hybrid_available() == expected
+    assert device_driver._hybrid_available() is False
     monkeypatch.setenv("LARA_SOLVER", "fused")
     assert device_driver._hybrid_available() is False
     monkeypatch.setenv("LARA_SOLVER", "hybrid")

@@ -106,7 +106,7 @@ def test_rounds_matching_matches_mirror(seed, lookahead):
     l_e = np.zeros((batch, dcap), np.int32)
     m_e = np.zeros((batch, dcap), np.int32)
     cand = np.zeros((batch, dcap), bool)
-    slot_of = np.full((batch, n_edges + 1), lcap, np.int32)
+    line_edges = np.full((batch, lcap), n_edges, np.int32)  # sentinel = ne
     expected = []
 
     for k in range(batch):
@@ -119,15 +119,14 @@ def test_rounds_matching_matches_mirror(seed, lookahead):
         score, contacts = matching_ref.greedy_matching(partners, lines, lookahead)
         expected.append((score, contacts, lines))
         for slot, line in enumerate(lines):
-            slot_of[k, line] = slot
+            line_edges[k, slot] = line
         for idx, (l, m, w) in enumerate(_queue_sorted(inter)):
             w2[k, idx] = w
             l_e[k, idx] = l
             m_e[k, idx] = m
             cand[k, idx] = True
 
-    out = greedy_matching_rounds(w2, l_e, m_e, cand, slot_of, lookahead, lcap)
-    assert not np.asarray(out.overflow).any()
+    out = greedy_matching_rounds(w2, l_e, m_e, cand, line_edges, lookahead, n_edges)
     for k in range(batch):
         score, contacts, lines = expected[k]
         assert int(out.score[k]) == score, f"lane {k}"
@@ -138,21 +137,6 @@ def test_rounds_matching_matches_mirror(seed, lookahead):
         np.testing.assert_array_equal(used, want, err_msg=f"lane {k}")
 
 
-def test_rounds_matching_overflow_flag():
-    # 6 candidates with cap=4 -> overflow flagged, result still a matching
-    inter = [(0, 1, 10), (2, 3, 8), (4, 5, 6), (0, 2, 4), (1, 3, 4), (4, 1, 2)]
-    inter = _queue_sorted(inter)
-    d = len(inter)
-    w2 = np.array([[w for (_, _, w) in inter]], np.int32)
-    l_e = np.array([[min(l, m) for (l, m, _) in inter]], np.int32)
-    m_e = np.array([[max(l, m) for (l, m, _) in inter]], np.int32)
-    cand = np.ones((1, d), bool)
-    slot_of = np.full((1, 9), 6, np.int32)
-    slot_of[0, :6] = np.arange(6)
-    out = greedy_matching_rounds(w2, l_e, m_e, cand, slot_of, 5, 6, cap=4)
-    assert bool(out.overflow[0])
-
-
 def test_rounds_matching_interleaved_invalid():
     # non-candidate entries interleaved in the array must be skipped
     inter = [(0, 1, 10), (1, 2, 8), (2, 3, 6)]
@@ -161,9 +145,8 @@ def test_rounds_matching_interleaved_invalid():
     l_e = np.array([[entries[0][0], 7, entries[1][0], entries[2][0], 0]], np.int32)
     m_e = np.array([[entries[0][1], 8, entries[1][1], entries[2][1], 0]], np.int32)
     cand = np.array([[True, False, True, True, False]])
-    slot_of = np.full((1, 10), 4, np.int32)
-    slot_of[0, :4] = np.arange(4)
-    out = greedy_matching_rounds(w2, l_e, m_e, cand, slot_of, 5, 4)
+    line_edges = np.arange(4, dtype=np.int32)[None, :]
+    out = greedy_matching_rounds(w2, l_e, m_e, cand, line_edges, 5, 16)
     # greedy takes (0,1)=10 then (2,3)=6
     assert int(out.score[0]) == 16
     np.testing.assert_array_equal(
