@@ -54,7 +54,7 @@ def _sharded_solver(mesh: Mesh, la_max: int, lb_max: int, num_iterations: int,
             device_solver.BatchModel(
                 seq_score=P("pairs"), active=P("pairs"),
                 dual_l=P("pairs"), dual_m=P("pairs"), sscore=P("pairs"),
-                rev=P("pairs"), dvalid=P("pairs"), qperm=P("pairs"),
+                rev=P("pairs"), dvalid=P("pairs"), qrank=P("pairs"),
                 la=P("pairs"), lb=P("pairs"),
             ),
             P(), P(), P(),
@@ -108,7 +108,7 @@ def pad_batch(model: device_solver.BatchModel, pad: int) -> device_solver.BatchM
         pad_block = jnp.full((pad,) + arr.shape[1:], fill, arr.dtype)
         return jnp.concatenate([arr, pad_block], axis=0)
 
-    d = model.qperm.shape[1]
+    d = model.qrank.shape[1]
     qpad = jnp.broadcast_to(jnp.arange(d, dtype=jnp.int32), (pad, d))
     return device_solver.BatchModel(
         seq_score=ext(model.seq_score),
@@ -118,7 +118,7 @@ def pad_batch(model: device_solver.BatchModel, pad: int) -> device_solver.BatchM
         sscore=ext(model.sscore),
         rev=ext(model.rev),
         dvalid=ext(model.dvalid, False),
-        qperm=jnp.concatenate([jnp.asarray(model.qperm), qpad], axis=0),
+        qrank=jnp.concatenate([jnp.asarray(model.qrank), qpad], axis=0),
         la=ext(model.la, 1),
         lb=ext(model.lb, 1),
     )

@@ -149,7 +149,9 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
     dcap = max(1, max(len(m.dual_l) for m in models))
     # quantise the dual capacity and the batch so compiled programs are
     # reused across chunks (recompiles dominated the TPU wall-clock otherwise)
-    dcap = 1 << (dcap - 1).bit_length()
+    # 1024-step quantisation: recompiles stay rare while D-proportional work
+    # (doubling scans, matching, gathers) avoids the up-to-2x power-of-two pad
+    dcap = ((dcap + 1023) // 1024) * 1024 if dcap > 512 else 512
     import jax
 
     n_dev = len(jax.devices())
@@ -162,7 +164,7 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
     sscore = np.zeros((bp, dcap), np.int32)
     rev = np.zeros((bp, dcap), np.int32)
     dvalid = np.zeros((bp, dcap), bool)
-    qperm = np.broadcast_to(np.arange(dcap, dtype=np.int32), (bp, dcap)).copy()
+    qrank = np.broadcast_to(np.arange(dcap, dtype=np.int32), (bp, dcap)).copy()
     las = np.concatenate([las, np.ones(bp - b, np.int32)])
     lbs = np.concatenate([lbs, np.ones(bp - b, np.int32)])
     for k, m in enumerate(models):
@@ -178,7 +180,7 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
             sscore[k, :d] = m.sscore
             rev[k, :d] = m.rev
             dvalid[k, :d] = True
-            qperm[k, :d] = m.qperm
+            qrank[k, :d][m.qperm] = np.arange(d, dtype=np.int32)
 
     batch = device_solver.BatchModel(
         seq_score=jnp.asarray(seq_score.reshape(bp, ne)),
@@ -188,7 +190,7 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
         sscore=jnp.asarray(sscore),
         rev=jnp.asarray(rev),
         dvalid=jnp.asarray(dvalid),
-        qperm=jnp.asarray(qperm),
+        qrank=jnp.asarray(qrank),
         la=jnp.asarray(las),
         lb=jnp.asarray(lbs),
     )

@@ -58,8 +58,8 @@ class BatchModel(NamedTuple):
     """Static per-batch problem data (padded).
 
     Dual arrays are edge-major (sorted by (l, m): one contiguous run per
-    alignment edge); ``qperm`` maps matching-queue position -> edge-major
-    index (see :mod:`lara_tpu.solver.interactions`).
+    alignment edge); ``qrank`` is each entry's position in the static
+    matching-queue order (see :mod:`lara_tpu.solver.interactions`).
     """
 
     seq_score: jax.Array   # [B, NE] int32 (flat la*lb grid padded to LA*LB)
@@ -69,7 +69,7 @@ class BatchModel(NamedTuple):
     sscore: jax.Array      # [B, D] int32
     rev: jax.Array         # [B, D] int32
     dvalid: jax.Array      # [B, D] bool
-    qperm: jax.Array       # [B, D] int32
+    qrank: jax.Array       # [B, D] int32
     la: jax.Array          # [B] int32
     lb: jax.Array          # [B] int32
 
@@ -84,21 +84,36 @@ def _shift_left(x: jax.Array, s: int, fill) -> jax.Array:
         [x[:, s:], jnp.full((x.shape[0], s), fill, x.dtype)], axis=1)
 
 
-def _run_reduce(vals: jax.Array, seg: jax.Array, op, fill) -> jax.Array:
-    """Per-element reduction over the contiguous run of equal ``seg`` values
-    containing it (``seg`` sorted along axis 1).  Masked doubling: log2(D)
-    shifted elementwise steps in each direction -- the priority-queue
-    replacement with no scatter/gather at all."""
-    d = vals.shape[1]
-    fwd, bwd = vals, vals
+def _run_max_with_argmin(p: jax.Array, m: jax.Array, seg: jax.Array,
+                         p_fill, m_fill):
+    """One doubling pass over the pair monoid (max p, min m among max-p):
+    returns (run max of ``p``, run min of ``m`` restricted to entries where
+    ``p`` attains the run max).  Computes the reference's per-edge priority
+    queue *top* -- best profit and its smallest partner id
+    (``lagrange.hpp:121,305-309``) -- in a single sweep."""
+    d = p.shape[1]
+
+    def combine(p1, m1, p2, m2):
+        pn = jnp.maximum(p1, p2)
+        mn = jnp.minimum(jnp.where(p1 == pn, m1, m_fill),
+                         jnp.where(p2 == pn, m2, m_fill))
+        return pn, mn
+
+    fp, fm, bp_, bm = p, m, p, m
     s = 1
     while s < d:
-        fwd = op(fwd, jnp.where(
-            _shift_right(seg, s, -1) == seg, _shift_right(fwd, s, fill), fill))
-        bwd = op(bwd, jnp.where(
-            _shift_left(seg, s, -1) == seg, _shift_left(bwd, s, fill), fill))
+        same_r = _shift_right(seg, s, -1) == seg
+        fp, fm = combine(
+            fp, fm,
+            jnp.where(same_r, _shift_right(fp, s, p_fill), p_fill),
+            jnp.where(same_r, _shift_right(fm, s, m_fill), m_fill))
+        same_l = _shift_left(seg, s, -1) == seg
+        bp_, bm = combine(
+            bp_, bm,
+            jnp.where(same_l, _shift_left(bp_, s, p_fill), p_fill),
+            jnp.where(same_l, _shift_left(bm, s, m_fill), m_fill))
         s *= 2
-    return op(fwd, bwd)
+    return combine(fp, fm, bp_, bm)
 
 
 class SolveConfig(NamedTuple):
@@ -226,21 +241,19 @@ def solve_batch_chunk(
     def take(arr2d, idx):
         return jnp.take_along_axis(arr2d, idx, axis=1)
 
-    # static queue-order views for the matching (one-time gathers per chunk)
-    ql = take(model.dual_l, model.qperm)
-    qm = take(model.dual_m, model.qperm)
-    qw2 = 2 * take(model.sscore, model.qperm)
-
     def body(state):
         steps, c = state
         act = c.lane_active
         dual_at_queue = jnp.where(act[:, None], c.dual, c.dual_at_queue)
 
         # ---- per-edge maxima: masked doubling over edge-major runs (the
-        # priority-queue replacement; no grid round trips) ----
+        # priority-queue replacement; no grid round trips).  One pass yields
+        # both the run max and its smallest partner id (queue top). ----
         profits = model.sscore + c.dual
         masked = jnp.where(model.dvalid, profits, NEG_INF)
-        mpp_l = _run_reduce(masked, model.dual_l, jnp.maximum, NEG_INF)
+        mpp_l, m_top_l = _run_max_with_argmin(
+            masked, jnp.where(model.dvalid, model.dual_m, ne), model.dual_l,
+            NEG_INF, I32(ne))
         is_top = model.dvalid & (profits == mpp_l)
 
         # ---- PSSM grid (the only scatter: D entries -> dense DP input) ----
@@ -283,8 +296,6 @@ def solve_batch_chunk(
         # ---- consistent branch (lagrange.hpp:397-409) ----
         # top queue entry per edge: max profit, tie -> smallest partner id,
         # with the self entry at profit 0 / partner id == own edge id.
-        m_top_l = _run_reduce(
-            jnp.where(is_top, model.dual_m, ne), model.dual_l, jnp.minimum, I32(ne))
         tis_l = (mpp_l < 0) | ((mpp_l == 0) & (model.dual_l < m_top_l))
         contrib = l_in & ~tis_l & is_top & (model.dual_m == m_top_l)
         consistent_sum = jnp.sum(jnp.where(contrib, model.sscore, 0), axis=1)
@@ -305,11 +316,11 @@ def solve_batch_chunk(
         matched_cons_line = line_valid & (top_not_self_line | matched_m_line)
 
         # ---- matching branch (lagrange.hpp:380-395) ----
-        cand_e = model.dvalid & l_in & m_in & (model.dual_l < model.dual_m) \
+        cand = model.dvalid & l_in & m_in & (model.dual_l < model.dual_m) \
             & any_sg[:, None] & act[:, None]
-        cand_q = take(cand_e, model.qperm)
         match_res = greedy_matching_rounds(
-            qw2, ql, qm, cand_q, line_sel, lookahead, ne,
+            2 * model.sscore, model.dual_l, model.dual_m, cand, line_sel,
+            model.qrank, lookahead, ne,
         )
         struct_part = jnp.where(any_sg, match_res.score, consistent_sum)
 

@@ -170,25 +170,28 @@ class RoundsResult(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("lookahead", "ne"))
-def greedy_matching_rounds(w2, l_edge, m_edge, cand, line_edges,
+def greedy_matching_rounds(w2, l_edge, m_edge, cand, line_edges, qrank,
                            lookahead: int, ne: int) -> RoundsResult:
-    """Round-vectorized greedy lookahead matching over PRESORTED candidates.
+    """Round-vectorized greedy lookahead matching over edge-major arrays.
 
     The queue weight is the static structure score (``matching.hpp:149-151``;
-    duals never enter), so the model arrays arrive presorted in queue order
-    (:func:`lara_tpu.solver.interactions.build_pair_model`) and the per-call
-    sort disappears.  The reference's entry-at-a-time scan collapses into
-    *rounds*: contacts only ever grow, so between two conflict resolutions
-    the "skip if endpoint already matched" predicate is constant -- the next
-    ``lookahead`` unblocked entries are found with one masked min-reduction
-    per lookahead slot instead of one loop step per queue entry.  Entries
-    passed over by the scan pointer stay dead (the reference's forward-only
-    iterator).  The round body is scatter-free: endpoint blocking is updated
-    by comparing the endpoint columns against the <= 2*lh newly matched edge
-    ids (everything fuses on the VPU), and the matched-endpoint set lives as
-    one dense [B, NE] bitmap scattered with <= 2*lh indices per round.
+    duals never enter), so the queue order is fixed per pair and arrives as
+    the static rank array ``qrank`` (position of each entry in the sorted
+    ``std::set`` order: weight desc, lineL asc, lineR asc) -- the per-call
+    sort disappears and no array needs reordering at runtime.  The
+    reference's entry-at-a-time scan collapses into *rounds*: contacts only
+    ever grow, so between two conflict resolutions the "skip if endpoint
+    already matched" predicate is constant -- the next ``lookahead``
+    unblocked entries are the ``lh`` smallest live ranks, found with ``lh``
+    masked min-reductions.  Entries passed over by the scan pointer stay
+    dead (the reference's forward-only iterator).  The round body is
+    gather/scatter-free on the wide arrays: selections are extracted with
+    one-hot masked sums, endpoint blocking is updated by comparing the
+    endpoint columns against the <= 2*lh newly matched edge ids, and the
+    matched-endpoint set lives as one dense [B, NE] bitmap scattered with
+    <= 2*lh indices per round.
 
-    ``w2/l_edge/m_edge/cand`` are [B, D] in queue order; ``line_edges`` is
+    ``w2/l_edge/m_edge/cand/qrank`` are [B, D] edge-major; ``line_edges`` is
     [B, LCAP] (flat edge id per alignment line slot) used to read the
     matched state back per line slot; ``ne`` (static) is the edge-id space
     size (la_max * lb_max).
@@ -199,11 +202,10 @@ def greedy_matching_rounds(w2, l_edge, m_edge, cand, line_edges,
 
     n_cand = jnp.sum(cand, axis=1).astype(I32)
     lh_lane = jnp.minimum(I32(lh), n_cand)  # matching.hpp:153-156
-    pos = jnp.arange(d, dtype=I32)[None, :]
     k_idx = jnp.arange(lh, dtype=I32)[None, :]
 
     class _St(NamedTuple):
-        ptr: jax.Array      # [B] queue scan pointer
+        ptr: jax.Array      # [B] rank scan pointer (d = lane done)
         blocked: jax.Array  # [B, D] entry dead (not cand / endpoint matched)
         score: jax.Array    # [B] i32
 
@@ -220,22 +222,32 @@ def greedy_matching_rounds(w2, l_edge, m_edge, cand, line_edges,
     def body(s):
         st, used = s
         engaged = st.ptr < d
-        ok = (pos >= st.ptr[:, None]) & ~st.blocked
-        r = jnp.cumsum(ok, axis=1, dtype=I32) - 1
-        sel = ok & (r < lh_lane[:, None])
-        sel_cnt = jnp.sum(sel, axis=1).astype(I32)
-        any_sel = sel_cnt > 0
+        ok = ~st.blocked & (qrank >= st.ptr[:, None])
 
-        # position of the k-th unblocked entry: masked min per slot
-        sel_pos = jnp.stack(
-            [jnp.min(jnp.where(sel & (r == k), pos, d), axis=1) for k in range(lh)],
-            axis=1,
-        )  # [B, LH]; d = none
-        valid_k = sel_pos < d
-        gp = jnp.clip(sel_pos, 0, d - 1)
-        sel_l = jnp.where(valid_k, jnp.take_along_axis(l_edge, gp, axis=1), 0)
-        sel_m = jnp.where(valid_k, jnp.take_along_axis(m_edge, gp, axis=1), 0)
-        sel_w = jnp.where(valid_k, jnp.take_along_axis(w2, gp, axis=1), 0)
+        # the next lh unblocked entries = the lh smallest live ranks;
+        # extract each with a min-reduction + one-hot masked sums (ranks are
+        # unique, so the one-hot selects exactly one entry)
+        sel_l_ks, sel_m_ks, sel_w_ks, rank_ks = [], [], [], []
+        last = jnp.full((b, 1), -1, I32)
+        for _ in range(lh):
+            r_k = jnp.min(jnp.where(ok & (qrank > last), qrank, d), axis=1,
+                          keepdims=True)
+            onehot = ok & (qrank == r_k)
+            sel_l_ks.append(jnp.sum(jnp.where(onehot, l_edge, 0), axis=1))
+            sel_m_ks.append(jnp.sum(jnp.where(onehot, m_edge, 0), axis=1))
+            sel_w_ks.append(jnp.sum(jnp.where(onehot, w2, 0), axis=1))
+            rank_ks.append(r_k[:, 0])
+            last = r_k
+        sel_l = jnp.stack(sel_l_ks, axis=1)  # [B, LH]
+        sel_m = jnp.stack(sel_m_ks, axis=1)
+        sel_w = jnp.stack(sel_w_ks, axis=1)
+        sel_rank = jnp.stack(rank_ks, axis=1)
+        valid_k = (sel_rank < d) & (k_idx < lh_lane[:, None])
+        sel_cnt = jnp.sum(valid_k, axis=1).astype(I32)
+        any_sel = sel_cnt > 0
+        sel_l = jnp.where(valid_k, sel_l, 0)
+        sel_m = jnp.where(valid_k, sel_m, 0)
+        sel_w = jnp.where(valid_k, sel_w, 0)
 
         elim_mask = _solve_conflicts_enum(
             sel_l, sel_m, sel_w, sel_cnt, engaged & any_sel, lh)
@@ -260,7 +272,7 @@ def greedy_matching_rounds(w2, l_edge, m_edge, cand, line_edges,
         # the scan stopped at the lh-th unblocked entry; a round that found
         # fewer exhausted the queue (the reference's scan pointer hit the
         # end), so the lane terminates after this resolution
-        sel_end = jnp.max(jnp.where(sel, pos, -1), axis=1)
+        sel_end = jnp.max(jnp.where(valid_k, sel_rank, -1), axis=1)
         full_sel = any_sel & (sel_cnt >= lh_lane)
         new_ptr = jnp.where(full_sel, sel_end + 1, d)
         ptr = jnp.where(engaged, new_ptr, st.ptr)

@@ -126,7 +126,9 @@ def test_rounds_matching_matches_mirror(seed, lookahead):
             m_e[k, idx] = m
             cand[k, idx] = True
 
-    out = greedy_matching_rounds(w2, l_e, m_e, cand, line_edges, lookahead, n_edges)
+    qrank = np.broadcast_to(np.arange(dcap, dtype=np.int32), (batch, dcap)).copy()
+    out = greedy_matching_rounds(
+        w2, l_e, m_e, cand, line_edges, qrank, lookahead, n_edges)
     for k in range(batch):
         score, contacts, lines = expected[k]
         assert int(out.score[k]) == score, f"lane {k}"
@@ -146,7 +148,8 @@ def test_rounds_matching_interleaved_invalid():
     m_e = np.array([[entries[0][1], 8, entries[1][1], entries[2][1], 0]], np.int32)
     cand = np.array([[True, False, True, True, False]])
     line_edges = np.arange(4, dtype=np.int32)[None, :]
-    out = greedy_matching_rounds(w2, l_e, m_e, cand, line_edges, 5, 16)
+    qrank = np.arange(5, dtype=np.int32)[None, :]
+    out = greedy_matching_rounds(w2, l_e, m_e, cand, line_edges, qrank, 5, 16)
     # greedy takes (0,1)=10 then (2,3)=6
     assert int(out.score[0]) == 16
     np.testing.assert_array_equal(

@@ -35,7 +35,7 @@ def test_sharded_solver_pads_odd_batches():
         sscore=np.zeros((b, d), np.int32),
         rev=np.zeros((b, d), np.int32),
         dvalid=np.zeros((b, d), bool),
-        qperm=np.broadcast_to(np.arange(d, dtype=np.int32), (b, d)).copy(),
+        qrank=np.broadcast_to(np.arange(d, dtype=np.int32), (b, d)).copy(),
         la=np.full(b, la, np.int32),
         lb=np.full(b, lb, np.int32),
     )
