@@ -63,11 +63,14 @@ def _hybrid_available() -> bool:
 
 def _pad_dim(length: int) -> int:
     """Bucket quantisation: coarse enough to batch well, fine enough to not
-    waste O(L^2) work."""
+    waste O(L^2) work (the scatter/compare costs scale with LA*LB, so a 96
+    bucket between 64 and 128 pays for itself on tRNA-scale input)."""
     if length <= 32:
         return 32
     if length <= 64:
         return 64
+    if length <= 96:
+        return 96
     return _round_up(length, 64)
 
 
@@ -145,6 +148,18 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
             )
         )
 
+    yield from _solve_models(store, chunk, models, params, la_max, lb_max,
+                             las, lbs)
+
+
+def _solve_models(store, chunk, models, params: Parameters,
+                  la_max: int, lb_max: int, las, lbs) -> Iterator[PairResult]:
+    import jax.numpy as jnp
+
+    from lara_tpu.solver import device_solver
+
+    b = len(chunk)
+    go, ge = int(params.gap_open_int), int(params.gap_extend_int)
     ne = la_max * lb_max
     dcap = max(1, max(len(m.dual_l) for m in models))
     # quantise the dual capacity and the batch so compiled programs are
@@ -152,6 +167,18 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
     # 1024-step quantisation: recompiles stay rare while D-proportional work
     # (doubling scans, matching, gathers) avoids the up-to-2x power-of-two pad
     dcap = ((dcap + 1023) // 1024) * 1024 if dcap > 512 else 512
+
+    # memory guard for interaction-heavy long pairs (16S-scale dot plots):
+    # the solver's line-membership compare-reduces peak at B * D * LCAP
+    # booleans, so split the chunk until that stays within HBM headroom
+    lcap = min(la_max, lb_max)
+    if b > 1 and b * dcap * lcap > 1_500_000_000:
+        mid = b // 2
+        yield from _solve_models(store, chunk[:mid], models[:mid], params,
+                                 la_max, lb_max, las[:mid], lbs[:mid])
+        yield from _solve_models(store, chunk[mid:], models[mid:], params,
+                                 la_max, lb_max, las[mid:], lbs[mid:])
+        return
     import jax
 
     n_dev = len(jax.devices())

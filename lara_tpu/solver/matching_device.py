@@ -130,36 +130,38 @@ def _solve_conflicts_enum(sel_l, sel_m, sel_w, sel_cnt, engaged, lh: int):
     mask_after_s = jnp.take_along_axis(mask_e, sub_s_idx, axis=1)
     mask_after_l = jnp.take_along_axis(mask_e, sub_l_idx, axis=1)
 
-    # memo over subsets, filled popcount-descending (supersets first)
+    # memo over subsets, filled popcount-descending (supersets first); all
+    # subsets of one popcount level are independent, so each level is one
+    # vectorized slab: 4 gathers into the memo + fused elementwise math
     res_w = jnp.zeros((b, n_sub), I64)
     res_elim = jnp.zeros((b, n_sub), I32)
-    for e_set in sorted(range(n_sub), key=lambda s: -bin(s).count("1")):
-        if e_set == n_sub - 1:
-            continue  # all slots eliminated: mask is empty, memo already 0
-        sub_s = jnp.take_along_axis(res_w, sub_s_idx[:, e_set : e_set + 1], axis=1)
-        sub_s_elim = jnp.take_along_axis(
-            res_elim, sub_s_idx[:, e_set : e_set + 1], axis=1)
-        sub_l = jnp.take_along_axis(res_w, sub_l_idx[:, e_set : e_set + 1], axis=1)
-        sub_l_elim = jnp.take_along_axis(
-            res_elim, sub_l_idx[:, e_set : e_set + 1], axis=1)
-        sl = slice(e_set, e_set + 1)
-        weight_s = w_s[:, sl] + sub_s
-        weight_l = w_l[:, sl] + sub_l
+    by_level: dict = {}
+    for e_set in range(n_sub - 1):  # full set: mask empty, memo already 0
+        by_level.setdefault(bin(e_set).count("1"), []).append(e_set)
+    for level in sorted(by_level, reverse=True):
+        cols = np.asarray(by_level[level], np.int32)  # static
+        sub_s = jnp.take_along_axis(res_w, sub_s_idx[:, cols], axis=1)
+        sub_s_elim = jnp.take_along_axis(res_elim, sub_s_idx[:, cols], axis=1)
+        sub_l = jnp.take_along_axis(res_w, sub_l_idx[:, cols], axis=1)
+        sub_l_elim = jnp.take_along_axis(res_elim, sub_l_idx[:, cols], axis=1)
+        weight_s = w_s[:, cols] + sub_s
+        weight_l = w_l[:, cols] + sub_l
         # explore the L branch only when the S branch is strictly heavier and
         # the two filtered conflict lists differ (matching.hpp:121-133)
-        explore = (weight_s > w_l[:, sl]) & (mask_after_s[:, sl] != mask_after_l[:, sl])
+        explore = (weight_s > w_l[:, cols]) & \
+            (mask_after_s[:, cols] != mask_after_l[:, cols])
         l_wins = explore & (weight_s > weight_l)
         val_w = jnp.where(
-            empty[:, sl], I64(0),
-            jnp.where(single[:, sl], w_s[:, sl],
+            empty[:, cols], I64(0),
+            jnp.where(single[:, cols], w_s[:, cols],
                       jnp.where(l_wins, weight_l, weight_s)))
         val_elim = jnp.where(
-            empty[:, sl], 0,
-            jnp.where(single[:, sl], s_bit[:, sl],
-                      jnp.where(l_wins, sub_l_elim | l_bit[:, sl],
-                                sub_s_elim | s_bit[:, sl])))
-        res_w = jax.lax.dynamic_update_slice(res_w, val_w, (0, e_set))
-        res_elim = jax.lax.dynamic_update_slice(res_elim, val_elim, (0, e_set))
+            empty[:, cols], 0,
+            jnp.where(single[:, cols], s_bit[:, cols],
+                      jnp.where(l_wins, sub_l_elim | l_bit[:, cols],
+                                sub_s_elim | s_bit[:, cols])))
+        res_w = res_w.at[:, cols].set(val_w)
+        res_elim = res_elim.at[:, cols].set(val_elim)
 
     return jnp.where(engaged, res_elim[:, 0], 0)  # [B] slot bitmask
 
