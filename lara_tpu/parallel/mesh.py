@@ -116,7 +116,8 @@ def pad_batch(model: device_solver.BatchModel, pad: int) -> device_solver.BatchM
         dual_l=ext(model.dual_l),
         dual_m=ext(model.dual_m),
         sscore=ext(model.sscore),
-        rev=ext(model.rev),
+        # identity rows keep the rev-involution invariant on padded lanes
+        rev=jnp.concatenate([jnp.asarray(model.rev), qpad], axis=0),
         dvalid=ext(model.dvalid, False),
         qrank=jnp.concatenate([jnp.asarray(model.qrank), qpad], axis=0),
         la=ext(model.la, 1),

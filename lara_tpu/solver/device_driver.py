@@ -189,7 +189,8 @@ def _solve_models(store, chunk, models, params: Parameters,
     dual_l = np.zeros((bp, dcap), np.int32)
     dual_m = np.zeros((bp, dcap), np.int32)
     sscore = np.zeros((bp, dcap), np.int32)
-    rev = np.zeros((bp, dcap), np.int32)
+    # rev rows must stay involutions (identity on padding) -- solver invariant
+    rev = np.broadcast_to(np.arange(dcap, dtype=np.int32), (bp, dcap)).copy()
     dvalid = np.zeros((bp, dcap), bool)
     qrank = np.broadcast_to(np.arange(dcap, dtype=np.int32), (bp, dcap)).copy()
     las = np.concatenate([las, np.ones(bp - b, np.int32)])

@@ -60,6 +60,10 @@ class BatchModel(NamedTuple):
     Dual arrays are edge-major (sorted by (l, m): one contiguous run per
     alignment edge); ``qrank`` is each entry's position in the static
     matching-queue order (see :mod:`lara_tpu.solver.interactions`).
+
+    Invariant: every row of ``rev`` must be an involution of [0, D) --
+    identity on padded/invalid entries -- because the solver applies it via
+    a key sort (x[rev] == sort-by-rev for involutions).
     """
 
     seq_score: jax.Array   # [B, NE] int32 (flat la*lb grid padded to LA*LB)
@@ -201,14 +205,19 @@ def solve_batch(
     lcap = min(la_max, lb_max)
     carry = _init_carry(b, d, lcap, step_factor0, num_iterations)
     total = 0
+    pending_flag = None  # any-lane-active flag of the PREVIOUS chunk
     while total < num_iterations:
         carry = solve_batch_chunk(
             model, carry, go, ge, la_max, lb_max,
             min(chunk, num_iterations - total), max_nondecr, lookahead,
         )
         total += chunk
-        if not bool(jnp.any(carry.lane_active)):
+        # read the flag one chunk late: the next dispatch is already queued
+        # when the device->host sync happens, so the tunnel round trip
+        # overlaps device compute instead of serialising every chunk
+        if pending_flag is not None and not bool(pending_flag):
             break
+        pending_flag = jnp.any(carry.lane_active) if total < num_iterations else None
     return _result_of(carry)
 
 
@@ -284,10 +293,12 @@ def solve_batch_chunk(
 
         # ---- subgradients (lagrange.hpp:343-374) ----
         # cycle(i) = pick(rev(i)) by symmetry (l_in[rev] = m_in, mpp_l[rev] =
-        # mpp at dual_m, profits[rev] == its own run max), so one boolean
-        # gather replaces five integer ones
+        # mpp at dual_m, profits[rev] == its own run max).  rev is an
+        # involution, so x[rev] == sort(x by key rev) -- a TPU sort costs
+        # half of what an XLA gather does here
         pick = l_in & (mpp_l >= 0) & is_top
-        pick_rev = take(pick, model.rev)
+        _, pick_rev = jax.lax.sort(
+            (model.rev, pick), dimension=1, num_keys=1)
         sg_pos = pick & ~pick_rev
         sg = sg_pos.astype(I32) - (pick_rev & ~pick).astype(I32)
         count = 2 * jnp.sum(sg_pos, axis=1).astype(I32)

@@ -33,7 +33,7 @@ def test_sharded_solver_pads_odd_batches():
         dual_l=np.zeros((b, d), np.int32),
         dual_m=np.zeros((b, d), np.int32),
         sscore=np.zeros((b, d), np.int32),
-        rev=np.zeros((b, d), np.int32),
+        rev=np.broadcast_to(np.arange(d, dtype=np.int32), (b, d)).copy(),
         dvalid=np.zeros((b, d), bool),
         qrank=np.broadcast_to(np.arange(d, dtype=np.int32), (b, d)).copy(),
         la=np.full(b, la, np.int32),
