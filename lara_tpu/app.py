@@ -72,12 +72,31 @@ def _apply_platform_env() -> None:
 
 
 def run(params: Parameters) -> OutputLibrary:
+    from lara_tpu.utils import timing
+
     time_start = time.monotonic()
+    timing.reset()
     _apply_platform_env()
     log(1, "1) Parse parameters...")
-    store = load_input(params)
+    with timing.phase("read input"):
+        store = load_input(params)
     outlib = OutputLibrary(store, params.out_format)
     pairs = enumerate_pairs(store)
+
+    # multi-host pods: initialise jax.distributed when a coordinator is
+    # configured, shard the pair list across hosts, gather results after
+    multihost = False
+    if params.backend == "device":
+        try:
+            from lara_tpu.parallel import mesh as mesh_mod
+
+            multihost = mesh_mod.distributed_init()
+        except Exception as exc:
+            log(1, f"   * jax.distributed unavailable ({exc}); single host")
+    all_pairs = pairs
+    if multihost:
+        pairs = mesh_mod.process_pair_shard(pairs)
+        log(1, f"   * host shard: {len(pairs)}/{len(all_pairs)} pairs")
     log(1, f"3) Solve {len(pairs)} structural alignments...")
 
     backend = params.backend
@@ -88,26 +107,46 @@ def run(params: Parameters) -> OutputLibrary:
             log(1, "   * device backend unavailable, using reference backend")
             backend = "reference"
 
-    if backend == "reference":
-        from lara_tpu.solver import reference_driver
+    with timing.maybe_trace(), timing.phase("solve"):
+        if backend == "reference":
+            from lara_tpu.solver import reference_driver
 
-        for (ia, ib) in pairs:
-            result = reference_driver.solve_pair(store[ia], store[ib], params, (ia, ib))
-            outlib.add_alignment(result.seq_indices, result.columns, result.score)
-    else:
-        for result in device_driver.solve_all(store, pairs, params):
-            outlib.add_alignment(result.seq_indices, result.columns, result.score)
+            for (ia, ib) in pairs:
+                result = reference_driver.solve_pair(
+                    store[ia], store[ib], params, (ia, ib))
+                outlib.add_alignment(result.seq_indices, result.columns, result.score)
+        else:
+            if multihost:
+                local = [
+                    (r.seq_indices[0], r.seq_indices[1], r.score, r.columns)
+                    for r in device_driver.solve_all(store, pairs, params)
+                ]
+                with timing.phase("gather results (hosts)"):
+                    for (ia, ib, score, cols) in mesh_mod.gather_results(local):
+                        outlib.add_alignment((ia, ib), cols, score)
+            else:
+                for result in device_driver.solve_all(store, pairs, params):
+                    outlib.add_alignment(
+                        result.seq_indices, result.columns, result.score)
 
     log(1, "4) Write results...")
-    outlib.print(params.out_file if params.out_file else None)
+    import jax as _jax
+
+    if multihost and _jax.process_index() != 0:
+        log(1, "   * non-zero host: process 0 writes the library")
+    else:
+        with timing.phase("write results"):
+            outlib.print(params.out_file if params.out_file else None)
 
     if params.msa_file:
         from lara_tpu import msa as msa_mod
 
         log(1, "5) Assemble multiple alignment...")
-        alignment = msa_mod.align(msa_mod.from_output_library(outlib))
-        with open(params.msa_file, "w") as handle:
-            msa_mod.write_fasta(alignment, handle)
+        with timing.phase("assemble MSA"):
+            alignment = msa_mod.align(msa_mod.from_output_library(outlib))
+            with open(params.msa_file, "w") as handle:
+                msa_mod.write_fasta(alignment, handle)
 
+    timing.report()
     log(1, f"lara-tpu has run for {time.monotonic() - time_start:.1f} seconds.")
     return outlib

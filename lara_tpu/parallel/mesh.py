@@ -31,6 +31,91 @@ from jax.sharding import Mesh, PartitionSpec as P
 from lara_tpu.solver import device_solver
 
 
+def distributed_init() -> bool:
+    """Initialise ``jax.distributed`` for multi-host pods when the standard
+    coordinator environment is present (JAX_COORDINATOR_ADDRESS or the TPU
+    pod metadata jax reads natively).  Safe to call unconditionally: single
+    -host runs return False and proceed on local devices only.
+
+    The reference's only cross-worker state is the merged, canonically
+    sorted library (``io.hpp:372``); with pure data parallelism over pairs
+    each host solves its own shard and process 0 gathers the per-pair
+    results (``gather_results``) before writing.
+    """
+    import os
+
+    if os.environ.get("LARA_NO_DISTRIBUTED"):
+        return False
+    if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")):
+        return False
+    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+        os.environ.get("COORDINATOR_ADDRESS")
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "0")) or None,
+        process_id=int(os.environ.get("JAX_PROCESS_ID", "0"))
+        if os.environ.get("JAX_PROCESS_ID") else None,
+    )
+    return jax.process_count() > 1
+
+
+def process_pair_shard(pairs, process_id: int = None, process_count: int = None):
+    """Split the all-pairs work list across hosts (strided so every host
+    gets a mix of long and short pairs from the length-sorted list)."""
+    pid = jax.process_index() if process_id is None else process_id
+    pcount = jax.process_count() if process_count is None else process_count
+    return [p for k, p in enumerate(pairs) if k % pcount == pid]
+
+
+def gather_results(local_entries, mesh: "Mesh" = None):
+    """All-gather the per-pair result entries across hosts via one padded
+    device all_gather over ICI/DCN, then return every host's entries (each
+    host can then merge into the canonically sorted library, preserving the
+    reference's determinism guarantee regardless of scheduling).
+
+    ``local_entries`` is a list of (ia, ib, score, columns) tuples with
+    ragged column lists; they are packed into one int32 payload per host and
+    padded to the global maximum before the gather.
+    """
+    import jax.numpy as jnp
+
+    if jax.process_count() == 1:
+        return list(local_entries)
+
+    # pack: [n_entries, 4 + 3*MAXCOL] int32 rows
+    rows = []
+    for (ia, ib, score, columns) in local_entries:
+        flat = [v for col in columns for v in col]
+        rows.append([ia, ib, int(score), len(columns)] + flat)
+    max_len = max((len(r) for r in rows), default=4)
+    # global max row length and count via a tiny all_gather
+    from jax.experimental import multihost_utils
+
+    dims = multihost_utils.process_allgather(
+        jnp.asarray([len(rows), max_len], jnp.int32))
+    g_rows = int(np.max(np.asarray(dims)[:, 0]))
+    g_len = int(np.max(np.asarray(dims)[:, 1]))
+    payload = np.full((g_rows, g_len + 1), -1, np.int32)
+    for r, row in enumerate(rows):
+        payload[r, 0] = len(row)
+        payload[r, 1 : 1 + len(row)] = row
+    gathered = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray(payload)))
+    out = []
+    for host_block in gathered.reshape(-1, g_rows, g_len + 1):
+        for row in host_block:
+            n = int(row[0])
+            if n < 4:
+                continue
+            vals = row[1 : 1 + n]
+            ia, ib, score, ncol = int(vals[0]), int(vals[1]), int(vals[2]), int(vals[3])
+            cols = [tuple(int(x) for x in vals[4 + 3 * c : 7 + 3 * c])
+                    for c in range(ncol)]
+            out.append((ia, ib, score, cols))
+    return out
+
+
 def pair_mesh(devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(np.asarray(devices), ("pairs",))

@@ -131,22 +131,25 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
         seq_b[k, : len(eb)] = eb
 
     log(2, f"     device chunk: {b} pairs padded to {la_max}x{lb_max}")
-    active_dev, opt_dev = gotoh.edge_filter_batch(
-        seq_a, seq_b, las, lbs, np.asarray(params.score_matrix), go, ge, subopt,
-        la_max, lb_max,
-    )
-    active_np = np.asarray(active_dev)
-    opt_np = np.asarray(opt_dev)
+    from lara_tpu.utils import timing
+
+    with timing.phase("edge filter (device)"):
+        active_dev, opt_dev = gotoh.edge_filter_batch(
+            seq_a, seq_b, las, lbs, np.asarray(params.score_matrix), go, ge,
+            subopt, la_max, lb_max,
+        )
+        active_np = np.asarray(active_dev)
+        opt_np = np.asarray(opt_dev)
 
     # host: packed interaction models
-    models = []
-    for k, (ia, ib) in enumerate(chunk):
-        models.append(
+    with timing.phase("interaction build (host)"):
+        models = [
             interactions.build_pair_model(
                 store[ia], store[ib], params,
                 active_np[k, : las[k], : lbs[k]], int(opt_np[k]),
             )
-        )
+            for k, (ia, ib) in enumerate(chunk)
+        ]
 
     yield from _solve_models(store, chunk, models, params, la_max, lb_max,
                              las, lbs)
@@ -225,20 +228,23 @@ def _solve_models(store, chunk, models, params: Parameters,
 
     import jax
 
-    if len(jax.devices()) > 1 and b > 1:
-        from lara_tpu.parallel import mesh as mesh_mod
+    from lara_tpu.utils import timing
 
-        result = mesh_mod.solve_batch_sharded(
-            batch, go, ge, np.float32(params.step_size_factor),
-            la_max, lb_max, int(params.num_iterations),
-            int(params.max_nondecr_iterations), int(params.matching),
-        )
-    else:
-        result = device_solver.solve_batch(
-            batch, go, ge, np.float32(params.step_size_factor),
-            la_max, lb_max, int(params.num_iterations),
-            int(params.max_nondecr_iterations), int(params.matching),
-        )
+    with timing.phase("subgradient solve (device)"):
+        if len(jax.devices()) > 1 and b > 1:
+            from lara_tpu.parallel import mesh as mesh_mod
+
+            result = mesh_mod.solve_batch_sharded(
+                batch, go, ge, np.float32(params.step_size_factor),
+                la_max, lb_max, int(params.num_iterations),
+                int(params.max_nondecr_iterations), int(params.matching),
+            )
+        else:
+            result = device_solver.solve_batch(
+                batch, go, ge, np.float32(params.step_size_factor),
+                la_max, lb_max, int(params.num_iterations),
+                int(params.max_nondecr_iterations), int(params.matching),
+            )
 
     best_lines = np.asarray(result.best_lines)
     best_nlines = np.asarray(result.best_nlines)

@@ -1,0 +1,76 @@
+"""Phase timers: the TPU equivalent of the reference's hand-rolled phase
+accounting (``/root/reference/src/subgradient_solver.hpp:199-203,335-351``
+accumulates align/matching/update wall time per thread under ``omp critical``
+and logs it at verbosity >= 1; ``src/lara.cpp:46,60`` reports total run
+time).
+
+The fused device solver runs every phase inside one XLA program, so the
+per-phase split lives at a different altitude here: host-side buckets for
+input parse, edge filter + model build, device solve, and output -- plus an
+optional ``jax.profiler`` trace (``LARA_PROFILE=<dir>``) that captures the
+true on-device op-level timeline for the phases the reference timed
+individually.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+from collections import OrderedDict
+from typing import Iterator
+
+from lara_tpu.utils.logging import log
+
+_BUCKETS: "OrderedDict[str, float]" = OrderedDict()
+_COUNTS: "OrderedDict[str, int]" = OrderedDict()
+
+
+def reset() -> None:
+    _BUCKETS.clear()
+    _COUNTS.clear()
+
+
+@contextlib.contextmanager
+def phase(name: str) -> Iterator[None]:
+    """Accumulate wall time into the named bucket."""
+    start = time.monotonic()
+    try:
+        yield
+    finally:
+        elapsed = time.monotonic() - start
+        _BUCKETS[name] = _BUCKETS.get(name, 0.0) + elapsed
+        _COUNTS[name] = _COUNTS.get(name, 0) + 1
+
+
+def add(name: str, seconds: float) -> None:
+    _BUCKETS[name] = _BUCKETS.get(name, 0.0) + float(seconds)
+    _COUNTS[name] = _COUNTS.get(name, 0) + 1
+
+
+def report() -> None:
+    """Log the accumulated phase table at verbosity 1 (the reference's
+    'Alignment time / Matching time / Update time' block)."""
+    if not _BUCKETS:
+        return
+    log(1, "Phase timings:")
+    for name, seconds in _BUCKETS.items():
+        log(1, f"  {name:<28s} {seconds:8.3f} s  (x{_COUNTS[name]})")
+
+
+@contextlib.contextmanager
+def maybe_trace() -> Iterator[None]:
+    """Wrap a region in a ``jax.profiler`` trace when ``LARA_PROFILE`` names
+    a directory (view with TensorBoard / xprof)."""
+    trace_dir = os.environ.get("LARA_PROFILE")
+    if not trace_dir:
+        yield
+        return
+    import jax.profiler
+
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        log(1, f"profiler trace written to {trace_dir}")
