@@ -163,6 +163,7 @@ class Traceback(NamedTuple):
     lines: jax.Array      # [B, LCAP, 2] matched (a, b) pairs, ascending
     n_lines: jax.Array    # [B]
     gap_score: jax.Array  # [B]
+    partner: jax.Array    # [B, LA_MAX] dense line map: partner[a] = b or -1
 
 
 @functools.partial(jax.jit, static_argnames=("la_max", "lb_max"))
@@ -232,7 +233,13 @@ def traceback(dirs, final_m, final_h, final_v, la, lb, go, ge,
     src = jnp.clip(k_idx + (lcap - cnt[:, None]), 0, lcap - 1)
     lines = jnp.take_along_axis(buf, src[:, :, None], axis=1)
     lines = jnp.where(k_idx[:, :, None] < cnt[:, None, None], lines, -1)
-    return Traceback(upper=upper, lines=lines, n_lines=cnt, gap_score=gap)
+    # dense per-position line map (what the Pallas traceback emits natively):
+    # the scatter is fine here -- this XLA walker is the non-TPU fallback
+    partner = jnp.full((b, la_max + 1), -1, I32).at[
+        lane[:, None], jnp.where(lines[:, :, 0] >= 0, lines[:, :, 0], la_max)
+    ].set(lines[:, :, 1])[:, :la_max]
+    return Traceback(upper=upper, lines=lines, n_lines=cnt, gap_score=gap,
+                     partner=partner)
 
 
 @functools.partial(jax.jit, static_argnames=("la_max", "lb_max"))

@@ -398,5 +398,6 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
         [jnp.where(keep, lines_a, -1), jnp.where(keep, lines_b, -1)], axis=-1
     )
     return gotoh.Traceback(
-        upper=upper, lines=lines, n_lines=n_lines, gap_score=gap_score
+        upper=upper, lines=lines, n_lines=n_lines, gap_score=gap_score,
+        partner=partner,
     )

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from lara_tpu.ops import gotoh
-from lara_tpu.solver.matching_device import greedy_matching_rounds
+from lara_tpu.solver.matching_device import greedy_matching_compact
 from lara_tpu.types import INFINITY, PSSM_INIT
 
 I32 = jnp.int32
@@ -329,7 +329,7 @@ def solve_batch_chunk(
         # ---- matching branch (lagrange.hpp:380-395) ----
         cand = model.dvalid & l_in & m_in & (model.dual_l < model.dual_m) \
             & any_sg[:, None] & act[:, None]
-        match_res = greedy_matching_rounds(
+        match_res = greedy_matching_compact(
             2 * model.sscore, model.dual_l, model.dual_m, cand, line_sel,
             model.qrank, lookahead, ne,
         )

@@ -287,6 +287,135 @@ def greedy_matching_rounds(w2, l_edge, m_edge, cand, line_edges, qrank,
     return RoundsResult(score=final.score, used_slot=used_slot)
 
 
+#: compact-queue width for the in-solver matching: the round loop's wide ops
+#: are HBM-bandwidth-bound, so compacting the <= n_cand live candidates from
+#: [B, D] to [B, COMPACT_WIDTH] queue-ordered columns cuts each round's
+#: traffic by D/COMPACT_WIDTH; a lane with more candidates is rare
+#: (candidates need BOTH endpoints among the current alignment lines) and
+#: falls back to full width via lax.cond
+COMPACT_WIDTH = 512
+
+
+@functools.partial(jax.jit, static_argnames=("lookahead", "ne"))
+def greedy_matching_compact(w2, l_edge, m_edge, cand, line_edges, qrank,
+                            lookahead: int, ne: int) -> RoundsResult:
+    """Greedy lookahead matching with sort-based candidate compaction.
+
+    Same results as :func:`greedy_matching_rounds` (fuzz-tested equal), but
+    restructured for the TPU memory system: one 4-operand ``lax.sort`` by
+    ``where(cand, qrank, D)`` moves the live candidates to the first columns
+    *in queue order* (sort is cheap in-loop on TPU; scatters/gathers are
+    not), then the round loop runs on a ``[B, COMPACT_WIDTH]`` slice.
+    Compact position = candidate rank, so selection order, conflict
+    resolution and the scan-pointer death rule are reproduced exactly.
+    """
+    b, d = w2.shape
+    cw = min(COMPACT_WIDTH, d)
+    n_cand = jnp.sum(cand, axis=1).astype(I32)
+
+    keys = jnp.where(cand, qrank, I32(d))
+    _, lq, mq, wq = jax.lax.sort(
+        (keys, l_edge, m_edge, w2), dimension=1, num_keys=1)
+
+    def rounds(width: int):
+        live = jnp.arange(width, dtype=I32)[None, :] < \
+            jnp.minimum(n_cand, width)[:, None]
+        return _rounds_loop(
+            lq[:, :width], mq[:, :width], wq[:, :width], live, line_edges,
+            n_cand, lookahead, width)
+
+    if cw >= d:
+        return rounds(d)
+    return rounds(cw)  # BISECT: forced compact
+
+
+def _rounds_loop(lq, mq, wq, live, line_edges, n_cand, lookahead: int,
+                 width: int) -> RoundsResult:
+    """Round loop over queue-ordered compacted columns (position == rank).
+
+    Columns are in queue order, so the "next ``lh`` unblocked entries" are
+    the first ``lh`` live columns at index >= the scan pointer -- extracted
+    with one cumsum + one-hot masked sums instead of chained min-reductions.
+    Matched state is tracked per line slot with value compares; the round
+    body touches no gather/scatter at all.
+    """
+    b, _ = lq.shape
+    lh = max(1, min(int(lookahead), 8))
+    lh_lane = jnp.minimum(I32(lh), n_cand)  # matching.hpp:153-156
+    k_idx = jnp.arange(lh, dtype=I32)[None, :]
+    idx = jnp.arange(width, dtype=I32)[None, :]
+
+    class _St(NamedTuple):
+        ptr: jax.Array      # [B] scan pointer in compact rank space
+        blocked: jax.Array  # [B, W] column dead (not live / endpoint matched)
+        score: jax.Array    # [B] i32
+
+    state = _St(
+        ptr=jnp.zeros((b,), I32),
+        blocked=~live,
+        score=jnp.zeros((b,), I32),
+    )
+
+    def cond(s):
+        st, _used = s
+        return jnp.any(st.ptr < width)
+
+    def body(s):
+        st, used = s
+        engaged = st.ptr < width
+        ok = ~st.blocked & (idx >= st.ptr[:, None])
+        srank = jnp.cumsum(ok.astype(I32), axis=1)
+        navail = srank[:, -1]
+
+        sel_l_ks, sel_m_ks, sel_w_ks, rank_ks = [], [], [], []
+        for k in range(lh):
+            onehot = ok & (srank == k + 1)
+            sel_l_ks.append(jnp.sum(jnp.where(onehot, lq, 0), axis=1))
+            sel_m_ks.append(jnp.sum(jnp.where(onehot, mq, 0), axis=1))
+            sel_w_ks.append(jnp.sum(jnp.where(onehot, wq, 0), axis=1))
+            rank_ks.append(jnp.where(
+                navail > k, jnp.sum(jnp.where(onehot, idx, 0), axis=1),
+                width))
+        sel_l = jnp.stack(sel_l_ks, axis=1)  # [B, LH]
+        sel_m = jnp.stack(sel_m_ks, axis=1)
+        sel_w = jnp.stack(sel_w_ks, axis=1)
+        sel_rank = jnp.stack(rank_ks, axis=1)
+        valid_k = (sel_rank < width) & (k_idx < lh_lane[:, None])
+        sel_cnt = jnp.sum(valid_k, axis=1).astype(I32)
+        any_sel = sel_cnt > 0
+        sel_l = jnp.where(valid_k, sel_l, 0)
+        sel_m = jnp.where(valid_k, sel_m, 0)
+        sel_w = jnp.where(valid_k, sel_w, 0)
+
+        elim_mask = _solve_conflicts_enum(
+            sel_l, sel_m, sel_w, sel_cnt, engaged & any_sel, lh)
+        kept = (engaged & any_sel)[:, None] & valid_k & \
+            (((elim_mask[:, None] >> k_idx) & 1) == 0)
+
+        score = st.score + jnp.sum(jnp.where(kept, sel_w, 0), axis=1)
+
+        # newly matched endpoints: block sharing columns and mark the line
+        # slots they touch -- value compares only, no scatter
+        blocked = st.blocked
+        for k in range(lh):
+            lk = sel_l[:, k : k + 1]
+            mk = sel_m[:, k : k + 1]
+            hit = (lq == lk) | (lq == mk) | (mq == lk) | (mq == mk)
+            blocked = blocked | (kept[:, k : k + 1] & hit)
+            used = used | (kept[:, k : k + 1]
+                           & ((line_edges == lk) | (line_edges == mk)))
+
+        sel_end = jnp.max(jnp.where(valid_k, sel_rank, -1), axis=1)
+        full_sel = any_sel & (sel_cnt >= lh_lane)
+        new_ptr = jnp.where(full_sel, sel_end + 1, width)
+        ptr = jnp.where(engaged, new_ptr, st.ptr)
+        return _St(ptr=ptr, blocked=blocked, score=score), used
+
+    used0 = jnp.zeros(line_edges.shape, bool)
+    (final, used_slot) = jax.lax.while_loop(cond, body, (state, used0))
+    return RoundsResult(score=final.score, used_slot=used_slot)
+
+
 class MatchingResult(NamedTuple):
     score: jax.Array        # [B] int64: sum of accepted 2*score weights
     used_vertex: jax.Array  # [B, NE] bool: matched line endpoints
