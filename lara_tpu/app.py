@@ -138,7 +138,7 @@ def run(params: Parameters) -> OutputLibrary:
         with timing.phase("write results"):
             outlib.print(params.out_file if params.out_file else None)
 
-    if params.msa_file:
+    if params.msa_file and (not multihost or _jax.process_index() == 0):
         from lara_tpu import msa as msa_mod
 
         log(1, "5) Assemble multiple alignment...")

@@ -326,7 +326,10 @@ def greedy_matching_compact(w2, l_edge, m_edge, cand, line_edges, qrank,
 
     if cw >= d:
         return rounds(d)
-    return rounds(cw)  # BISECT: forced compact
+    # rare lanes with more live candidates than the compact width fall back
+    # to the full-width loop (both branches traced; only one executes)
+    return jax.lax.cond(
+        jnp.any(n_cand > cw), lambda: rounds(d), lambda: rounds(cw))
 
 
 def _rounds_loop(lq, mq, wq, live, line_edges, n_cand, lookahead: int,
