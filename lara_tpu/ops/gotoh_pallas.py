@@ -289,14 +289,18 @@ def gotoh_scan_pallas(skewed, la, lb, go, ge, block_b: int = 64,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("la_max", "lb_max", "block_b", "dchunk", "interpret")
+    jax.jit, static_argnames=("la_max", "lb_max", "block_b", "dchunk",
+                              "interpret", "emit_lines")
 )
 def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
                             block_b: int = 64, dchunk: int = 8,
-                            interpret: bool = False):
+                            interpret: bool = False, emit_lines: bool = True):
     """Pallas-backed drop-in for :func:`lara_tpu.ops.gotoh.align_pssm_batch`:
     forward wavefront kernel -> reverse-sweep traceback kernel -> line-list
     compaction (XLA sort).  Padded lanes have la = lb = 0 and trace nothing.
+
+    ``emit_lines=False`` skips the ordered line-list compaction (the solver
+    consumes the dense partner map directly); ``lines`` is then empty.
     """
     from lara_tpu.ops import gotoh
 
@@ -381,11 +385,17 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
         interpret=interpret,
     )(params, dirs, finals, la_p, lb_p)
 
-    # compact the dense partner map to the ordered line list the solver uses
     partner = partner[:b, :la_max]  # partner[a] = b or -1, a ascending
     upper = scalars[0, :b, 0]
     gap_score = scalars[1, :b, 0]
     n_lines = scalars[2, :b, 0]
+    if not emit_lines:
+        lines = jnp.zeros((b, 0, 2), I32)
+        return gotoh.Traceback(
+            upper=upper, lines=lines, n_lines=n_lines, gap_score=gap_score,
+            partner=partner,
+        )
+    # compact the dense partner map to an ordered line list
     valid = partner >= 0
     order = jnp.argsort(~valid, axis=1, stable=True)[:, :lcap]
     lines_a = jnp.take_along_axis(

@@ -123,13 +123,13 @@ def pair_mesh(devices=None) -> Mesh:
 
 @functools.lru_cache(maxsize=32)
 def _sharded_solver(mesh: Mesh, la_max: int, lb_max: int, num_iterations: int,
-                    max_nondecr: int, lookahead: int):
+                    max_nondecr: int, lookahead: int, scan_steps: int = 0):
     """Build the sharded solve function for one static configuration."""
 
     def impl(model, go, ge, step0):
         return device_solver.solve_batch_traced(
             model, go, ge, step0, la_max, lb_max, num_iterations,
-            max_nondecr, lookahead,
+            max_nondecr, lookahead, scan_steps,
         )
 
     shard = jax.shard_map(
@@ -146,7 +146,7 @@ def _sharded_solver(mesh: Mesh, la_max: int, lb_max: int, num_iterations: int,
         ),
         out_specs=device_solver.BatchResult(
             best_upper=P("pairs"), best_lower=P("pairs"),
-            best_lines=P("pairs"), best_nlines=P("pairs"),
+            best_partner=P("pairs"), best_nlines=P("pairs"),
             best_matched=P("pairs"), dual_at_queue=P("pairs"),
             iterations=P("pairs"),
         ),
@@ -166,6 +166,7 @@ def solve_batch_sharded(
     max_nondecr: int,
     lookahead: int,
     mesh: Optional[Mesh] = None,
+    scan_steps: int = 0,
 ) -> device_solver.BatchResult:
     """Shard the batch over all devices; pads the batch to a multiple of the
     mesh size with dummy lanes (la=lb=1, empty models) that converge in one
@@ -176,7 +177,8 @@ def solve_batch_sharded(
     pad = (-b) % n_dev
     if pad:
         model = pad_batch(model, pad)
-    fn = _sharded_solver(mesh, la_max, lb_max, num_iterations, max_nondecr, lookahead)
+    fn = _sharded_solver(mesh, la_max, lb_max, num_iterations, max_nondecr,
+                         lookahead, scan_steps)
     import jax.numpy as jnp
 
     result = fn(model, jnp.int32(go), jnp.int32(ge), jnp.float32(step0))

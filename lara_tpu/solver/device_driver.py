@@ -171,11 +171,12 @@ def _solve_models(store, chunk, models, params: Parameters,
     # (doubling scans, matching, gathers) avoids the up-to-2x power-of-two pad
     dcap = ((dcap + 1023) // 1024) * 1024 if dcap > 512 else 512
 
-    # memory guard for interaction-heavy long pairs (16S-scale dot plots):
-    # the solver's line-membership compare-reduces peak at B * D * LCAP
-    # booleans, so split the chunk until that stays within HBM headroom
-    lcap = min(la_max, lb_max)
-    if b > 1 and b * dcap * lcap > 1_500_000_000:
+    # memory guard for long pairs (16S-scale): the peak HBM residents are
+    # the diagonal-major dirs + skewed tensors (~8 bytes per (diag, lane,
+    # offset) cell) plus the [B, NE] grids and [B, D] dual arrays
+    est_bytes = b * ((la_max + lb_max + 8) * (la_max + 128) * 8
+                     + ne * 24 + dcap * 48)
+    if b > 1 and est_bytes > 6_000_000_000:
         mid = b // 2
         yield from _solve_models(store, chunk[:mid], models[:mid], params,
                                  la_max, lb_max, las[:mid], lbs[:mid])
@@ -198,6 +199,7 @@ def _solve_models(store, chunk, models, params: Parameters,
     qrank = np.broadcast_to(np.arange(dcap, dtype=np.int32), (bp, dcap)).copy()
     las = np.concatenate([las, np.ones(bp - b, np.int32)])
     lbs = np.concatenate([lbs, np.ones(bp - b, np.int32)])
+    max_run = 1
     for k, m in enumerate(models):
         seq_score[k, : m.la, : m.lb] = m.seq_score
         active[k, : m.la, : m.lb] = m.active
@@ -212,6 +214,13 @@ def _solve_models(store, chunk, models, params: Parameters,
             rev[k, :d] = m.rev
             dvalid[k, :d] = True
             qrank[k, :d][m.qperm] = np.arange(d, dtype=np.int32)
+            max_run = max(max_run, int(np.max(
+                np.unique(m.dual_l, return_counts=True)[1])))
+    # run-scan depth: 2**steps must cover the longest per-edge run; round up
+    # to even so compiled programs are reused across similar chunks
+    steps_needed = max(1, (max_run - 1).bit_length())
+    scan_steps = min(steps_needed + (steps_needed & 1),
+                     max(1, (dcap - 1).bit_length()))
 
     batch = device_solver.BatchModel(
         seq_score=jnp.asarray(seq_score.reshape(bp, ne)),
@@ -238,15 +247,17 @@ def _solve_models(store, chunk, models, params: Parameters,
                 batch, go, ge, np.float32(params.step_size_factor),
                 la_max, lb_max, int(params.num_iterations),
                 int(params.max_nondecr_iterations), int(params.matching),
+                scan_steps=scan_steps,
             )
         else:
             result = device_solver.solve_batch(
                 batch, go, ge, np.float32(params.step_size_factor),
                 la_max, lb_max, int(params.num_iterations),
                 int(params.max_nondecr_iterations), int(params.matching),
+                scan_steps=scan_steps,
             )
 
-    best_lines = np.asarray(result.best_lines)
+    best_partner = np.asarray(result.best_partner)
     best_nlines = np.asarray(result.best_nlines)
     best_matched = np.asarray(result.best_matched)
     best_lower = np.asarray(result.best_lower)
@@ -255,9 +266,11 @@ def _solve_models(store, chunk, models, params: Parameters,
     dual_q = np.asarray(result.dual_at_queue)
 
     for k, (ia, ib) in enumerate(chunk):
-        n = int(best_nlines[k])
-        lines = [tuple(x) for x in best_lines[k, :n]]
-        matched = best_matched[k, :n]
+        pk = best_partner[k, : int(las[k])]
+        a_pos = np.nonzero(pk >= 0)[0]
+        assert len(a_pos) == int(best_nlines[k]), "partner/count mismatch"
+        lines = [(int(a), int(pk[a])) for a in a_pos]
+        matched = best_matched[k, a_pos]
         columns = _structure_columns(
             models[k], params, lines, matched, dual_q[k, : len(models[k].dual_l)]
         )

@@ -1,12 +1,29 @@
 """The batched on-device subgradient solver.
 
 One ``jax.lax.while_loop`` runs the *entire* Lagrangian loop for a batch of
-pairwise problems: PSSM assembly (segment max over dual variables), the
+pairwise problems: PSSM assembly (segmented run scan + one gather), the
 wavefront alignment DP, subgradient extraction, greedy matching, bound
 bookkeeping and dual updates.  Converged lanes freeze under masks; the loop
 ends when every lane converged or exhausted its iterations -- the TPU-native
 replacement for the reference's OpenMP work stealing + SIMD lane masking
 (``/root/reference/src/subgradient_solver.hpp:206-331``, ``_simd.hpp``).
+
+Layout invariants (set up by :mod:`lara_tpu.solver.interactions` and the
+driver): the dual table is edge-major -- entries sorted by (l, m), one
+contiguous run per alignment edge, partner ids ascending within a run.
+Everything the iteration needs at grid or line granularity is then *derived
+by gathers from run aggregates*, never by scatters or [B, D, LINES]
+compare-reduces:
+
+* per-edge queue top (max profit; ties -> smallest partner id;
+  ``lagrange.hpp:121,305-309``) = one segmented doubling scan whose depth is
+  capped by the true maximum run length (static ``scan_steps``),
+* the dense PSSM grid = one gather of the run maxima through ``edge_ptr``
+  (run-start index per grid cell, built once per dispatch),
+* line membership of an entry = one gather into the DP's dense partner map
+  (``partner[a] == b``),
+* all per-line state lives on dense position slots ([B, LA]): slot a is the
+  line (a, partner[a]).
 
 Numeric parity notes:
 * all profits int32; duals int32 with float32 step arithmetic and
@@ -50,7 +67,8 @@ def _align(pssm, la, lb, go, ge, la_max: int, lb_max: int):
     if _use_pallas():
         from lara_tpu.ops.gotoh_pallas import align_pssm_batch_pallas
 
-        return align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max, lb_max)
+        return align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max, lb_max,
+                                       emit_lines=False)
     return gotoh.align_pssm_batch(pssm, la, lb, go, ge, la_max, lb_max)
 
 
@@ -58,8 +76,9 @@ class BatchModel(NamedTuple):
     """Static per-batch problem data (padded).
 
     Dual arrays are edge-major (sorted by (l, m): one contiguous run per
-    alignment edge); ``qrank`` is each entry's position in the static
-    matching-queue order (see :mod:`lara_tpu.solver.interactions`).
+    alignment edge, partner ids ascending within the run); ``qrank`` is each
+    entry's position in the static matching-queue order (see
+    :mod:`lara_tpu.solver.interactions`).
 
     Invariant: every row of ``rev`` must be an involution of [0, D) --
     identity on padded/invalid entries -- because the solver applies it via
@@ -88,36 +107,46 @@ def _shift_left(x: jax.Array, s: int, fill) -> jax.Array:
         [x[:, s:], jnp.full((x.shape[0], s), fill, x.dtype)], axis=1)
 
 
-def _run_max_with_argmin(p: jax.Array, m: jax.Array, seg: jax.Array,
-                         p_fill, m_fill):
-    """One doubling pass over the pair monoid (max p, min m among max-p):
-    returns (run max of ``p``, run min of ``m`` restricted to entries where
-    ``p`` attains the run max).  Computes the reference's per-edge priority
-    queue *top* -- best profit and its smallest partner id
-    (``lagrange.hpp:121,305-309``) -- in a single sweep."""
-    d = p.shape[1]
-
-    def combine(p1, m1, p2, m2):
-        pn = jnp.maximum(p1, p2)
-        mn = jnp.minimum(jnp.where(p1 == pn, m1, m_fill),
-                         jnp.where(p2 == pn, m2, m_fill))
-        return pn, mn
-
-    fp, fm, bp_, bm = p, m, p, m
+def _same_segment_masks(seg: jax.Array, steps: int):
+    """Loop-invariant window masks for the segmented doubling scan: for each
+    shift 2^k, whether the neighbour 2^k to the left/right is in the same
+    edge run.  Hoisted out of the iteration loop (``seg`` is static)."""
+    masks = []
     s = 1
-    while s < d:
-        same_r = _shift_right(seg, s, -1) == seg
-        fp, fm = combine(
-            fp, fm,
-            jnp.where(same_r, _shift_right(fp, s, p_fill), p_fill),
-            jnp.where(same_r, _shift_right(fm, s, m_fill), m_fill))
-        same_l = _shift_left(seg, s, -1) == seg
-        bp_, bm = combine(
-            bp_, bm,
-            jnp.where(same_l, _shift_left(bp_, s, p_fill), p_fill),
-            jnp.where(same_l, _shift_left(bm, s, m_fill), m_fill))
+    for _ in range(steps):
+        masks.append((_shift_right(seg, s, -1) == seg,
+                      _shift_left(seg, s, -1) == seg))
         s *= 2
-    return combine(fp, fm, bp_, bm)
+    return masks
+
+
+def _run_top(p, idx, same_masks, p_fill, idx_fill):
+    """Segmented scan over edge-major runs with the queue-top monoid: max
+    profit, ties broken by smallest entry index -- which equals smallest
+    partner id, because partner ids ascend within a run.  Computes the
+    reference's per-edge priority-queue *top* (``lagrange.hpp:121,305-309``)
+    at every position of the run in ``len(same_masks)`` doubling passes
+    (capped by the true max run length).  Returns (run max p, index of the
+    top entry)."""
+
+    def combine(p1, i1, p2, i2):
+        take1 = (p1 > p2) | ((p1 == p2) & (i1 <= i2))
+        return jnp.where(take1, p1, p2), jnp.where(take1, i1, i2)
+
+    fp, fi = p, idx
+    bp_, bi = p, idx
+    s = 1
+    for (same_r, same_l) in same_masks:
+        fp, fi = combine(
+            fp, fi,
+            jnp.where(same_r, _shift_right(fp, s, p_fill), p_fill),
+            jnp.where(same_r, _shift_right(fi, s, idx_fill), idx_fill))
+        bp_, bi = combine(
+            bp_, bi,
+            jnp.where(same_l, _shift_left(bp_, s, p_fill), p_fill),
+            jnp.where(same_l, _shift_left(bi, s, idx_fill), idx_fill))
+        s *= 2
+    return combine(fp, fi, bp_, bi)
 
 
 class SolveConfig(NamedTuple):
@@ -132,9 +161,9 @@ class SolveConfig(NamedTuple):
 class BatchResult(NamedTuple):
     best_upper: jax.Array    # [B] int32
     best_lower: jax.Array    # [B] int32
-    best_lines: jax.Array    # [B, LCAP, 2] int32
+    best_partner: jax.Array  # [B, LA_MAX] int32: partner[a] = b or -1
     best_nlines: jax.Array   # [B] int32
-    best_matched: jax.Array  # [B, LCAP] bool
+    best_matched: jax.Array  # [B, LA_MAX] bool (per position slot)
     dual_at_queue: jax.Array  # [B, D] int32
     iterations: jax.Array    # [B] int32
 
@@ -149,13 +178,14 @@ class _Carry(NamedTuple):
     best_lower: jax.Array
     best_upper: jax.Array
     best_score: jax.Array
-    best_lines: jax.Array
+    best_partner: jax.Array
     best_nlines: jax.Array
     best_matched: jax.Array
     iterations: jax.Array
 
 
-def _init_carry(b: int, d: int, lcap: int, step_factor0, num_iterations: int) -> "_Carry":
+def _init_carry(b: int, d: int, la_max: int, step_factor0,
+                num_iterations: int) -> "_Carry":
     return _Carry(
         dual=jnp.zeros((b, d), I32),
         dual_at_queue=jnp.zeros((b, d), I32),
@@ -166,9 +196,9 @@ def _init_carry(b: int, d: int, lcap: int, step_factor0, num_iterations: int) ->
         best_lower=jnp.full((b,), NEG_INF, I32),
         best_upper=jnp.full((b,), -NEG_INF, I32),
         best_score=jnp.full((b,), NEG_INF, I32),
-        best_lines=jnp.full((b, lcap, 2), -1, I32),
+        best_partner=jnp.full((b, la_max), -1, I32),
         best_nlines=jnp.zeros((b,), I32),
-        best_matched=jnp.zeros((b, lcap), bool),
+        best_matched=jnp.zeros((b, la_max), bool),
         iterations=jnp.zeros((b,), I32),
     )
 
@@ -177,7 +207,7 @@ def _result_of(final: "_Carry") -> BatchResult:
     return BatchResult(
         best_upper=final.best_upper,
         best_lower=final.best_lower,
-        best_lines=final.best_lines,
+        best_partner=final.best_partner,
         best_nlines=final.best_nlines,
         best_matched=final.best_matched,
         dual_at_queue=final.dual_at_queue,
@@ -196,20 +226,21 @@ def solve_batch(
     max_nondecr: int,
     lookahead: int,
     chunk: int = 50,
+    scan_steps: int = 0,
 ) -> BatchResult:
     """Host-chunked fused solve: the device while_loop runs at most ``chunk``
     iterations per dispatch (long single dispatches trip RPC watchdogs on
     tunnel-attached TPUs); the carry stays on device between dispatches."""
     b, _ = model.seq_score.shape
     d = model.dual_l.shape[1]
-    lcap = min(la_max, lb_max)
-    carry = _init_carry(b, d, lcap, step_factor0, num_iterations)
+    carry = _init_carry(b, d, la_max, step_factor0, num_iterations)
     total = 0
     pending_flag = None  # any-lane-active flag of the PREVIOUS chunk
     while total < num_iterations:
         carry = solve_batch_chunk(
             model, carry, go, ge, la_max, lb_max,
             min(chunk, num_iterations - total), max_nondecr, lookahead,
+            scan_steps,
         )
         total += chunk
         # read the flag one chunk late: the next dispatch is already queued
@@ -223,7 +254,8 @@ def solve_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("la_max", "lb_max", "max_steps", "max_nondecr", "lookahead"),
+    static_argnames=("la_max", "lb_max", "max_steps", "max_nondecr",
+                     "lookahead", "scan_steps"),
     donate_argnames=("carry",),
 )
 def solve_batch_chunk(
@@ -236,67 +268,92 @@ def solve_batch_chunk(
     max_steps: int,
     max_nondecr: int,
     lookahead: int,
+    scan_steps: int = 0,
 ) -> "_Carry":
-    """Up to ``max_steps`` fused iterations; resumable."""
+    """Up to ``max_steps`` fused iterations; resumable.
+
+    ``scan_steps``: number of doubling passes for the per-edge run scan;
+    must satisfy 2**scan_steps >= the longest per-edge run in the batch.
+    0 (default) = full depth ceil(log2(D)), always safe.
+    """
     b, ne = model.seq_score.shape
     d = model.dual_l.shape[1]
-    lcap = min(la_max, lb_max)
     go = I32(go)
     ge = I32(ge)
+    full_depth = max(1, (d - 1).bit_length())
+    steps = full_depth if scan_steps <= 0 else min(scan_steps, full_depth)
 
     lane = jnp.arange(b, dtype=I32)
-    batch_offset = (lane * ne)[:, None]
 
-    def take(arr2d, idx):
-        return jnp.take_along_axis(arr2d, idx, axis=1)
+    # ---- loop-invariant precomputation (hoisted out of the while body) ----
+    same_masks = _same_segment_masks(model.dual_l, steps)
+    m_val = jnp.where(model.dvalid, model.dual_m, ne)
+    iota_d = jnp.broadcast_to(jnp.arange(d, dtype=I32), (b, d))
+    # run starts (static): first entry of each contiguous dual_l run
+    prev_l = jnp.concatenate(
+        [jnp.full((b, 1), -1, I32), model.dual_l[:, :-1]], axis=1)
+    is_start = model.dvalid & (model.dual_l != prev_l)
+    # scatter destination per entry: run starts write their grid cell, all
+    # others aim out of bounds (dropped); unique within a lane by definition
+    start_dst = jnp.where(is_start, model.dual_l, ne)
+    # run-start position per grid edge (D = "no entries"); one scatter per
+    # dispatch, amortized over max_steps iterations
+    edge_ptr = jnp.full((b, ne + 1), d, I32).at[
+        lane[:, None], jnp.where(model.dvalid, model.dual_l, ne)
+    ].min(iota_d)
+    # [B, NE+1] seq scores with 0 at the sentinel column (invalid slots)
+    seq_pad = jnp.concatenate(
+        [model.seq_score, jnp.zeros((b, 1), I32)], axis=1)
+    slot_base = (jnp.arange(la_max, dtype=I32) * lb_max)[None, :]  # [1, S]
+    cand_base = model.dvalid & (model.dual_l < model.dual_m)
+
+    def pad_col(x, fill):
+        return jnp.concatenate([x, jnp.full((b, 1), fill, x.dtype)], axis=1)
 
     def body(state):
-        steps, c = state
+        steps_done, c = state
         act = c.lane_active
         dual_at_queue = jnp.where(act[:, None], c.dual, c.dual_at_queue)
 
-        # ---- per-edge maxima: masked doubling over edge-major runs (the
-        # priority-queue replacement; no grid round trips).  One pass yields
-        # both the run max and its smallest partner id (queue top). ----
+        # ---- per-edge queue top: capped segmented doubling scan ----
         profits = model.sscore + c.dual
         masked = jnp.where(model.dvalid, profits, NEG_INF)
-        mpp_l, m_top_l = _run_max_with_argmin(
-            masked, jnp.where(model.dvalid, model.dual_m, ne), model.dual_l,
-            NEG_INF, I32(ne))
-        is_top = model.dvalid & (profits == mpp_l)
+        run_p, run_idx = _run_top(masked, iota_d, same_masks, NEG_INF, I32(d))
+        is_top = model.dvalid & (profits == run_p)
 
-        # ---- PSSM grid (the only scatter: D entries -> dense DP input) ----
-        flat_idx = (model.dual_l + batch_offset).reshape(-1)
-        mpp = jnp.full((b * ne,), NEG_INF, I32).at[flat_idx].max(
-            masked.reshape(-1)).reshape(b, ne)
+        # ---- PSSM grid: one unique-index scatter of the run-start values
+        # (every position of a run carries the full-run aggregate, so the
+        # start value IS the per-edge max; non-starts are dropped OOB) ----
+        mpp_grid = jnp.full((b, ne), NEG_INF, I32).at[
+            lane[:, None], start_dst
+        ].set(run_p, mode="drop", unique_indices=True)
         pssm = jnp.where(
-            model.active, model.seq_score + jnp.maximum(mpp, 0), I32(PSSM_INIT)
-        ).reshape(b, la_max, lb_max)
+            model.active, model.seq_score + jnp.maximum(mpp_grid, 0),
+            I32(PSSM_INIT)).reshape(b, la_max, lb_max)
 
         # ---- relaxed problem: wavefront DP + traceback ----
         tb = _align(pssm, model.la, model.lb, go, ge, la_max, lb_max)
         upper = tb.upper
+        partner = tb.partner                                  # [B, S]
 
-        # ---- current solution: line slots (sentinel ne for invalid) ----
-        k_idx = jnp.arange(lcap, dtype=I32)[None, :]
-        line_valid = k_idx < tb.n_lines[:, None]
-        line_edges = jnp.clip(tb.lines[:, :, 0] * lb_max + tb.lines[:, :, 1], 0, ne - 1)
-        line_sel = jnp.where(line_valid, line_edges, ne)
-
+        # ---- current solution on dense position slots ----
+        slot_valid = partner >= 0
+        slot_edge = jnp.where(slot_valid, slot_base + partner, ne)  # [B, S]
         seq_part = jnp.sum(
-            jnp.where(line_valid, take(model.seq_score, line_edges), 0), axis=1)
+            jnp.take_along_axis(seq_pad, slot_edge, axis=1), axis=1)
 
-        # ---- membership of each entry's endpoints in the current lines:
-        # fused compare-reduce against the <= LCAP line ids (no gather) ----
-        l_in = jnp.any(model.dual_l[:, :, None] == line_sel[:, None, :], axis=2)
-        m_in = jnp.any(model.dual_m[:, :, None] == line_sel[:, None, :], axis=2)
+        # ---- line membership per entry: fused compare-reduce against the
+        # <= S line edge ids (dynamic [B, D]-wide gathers are an order of
+        # magnitude slower than VPU compare streams on TPU) ----
+        l_in = jnp.any(
+            model.dual_l[:, :, None] == slot_edge[:, None, :], axis=2)
+        m_in = jnp.any(
+            model.dual_m[:, :, None] == slot_edge[:, None, :], axis=2)
 
         # ---- subgradients (lagrange.hpp:343-374) ----
-        # cycle(i) = pick(rev(i)) by symmetry (l_in[rev] = m_in, mpp_l[rev] =
-        # mpp at dual_m, profits[rev] == its own run max).  rev is an
-        # involution, so x[rev] == sort(x by key rev) -- a TPU sort costs
-        # half of what an XLA gather does here
-        pick = l_in & (mpp_l >= 0) & is_top
+        # cycle(i) = pick(rev(i)) by symmetry.  rev is an involution, so
+        # x[rev] == sort(x by key rev) -- a TPU sort beats an XLA gather here
+        pick = l_in & (run_p >= 0) & is_top
         _, pick_rev = jax.lax.sort(
             (model.rev, pick), dimension=1, num_keys=1)
         sg_pos = pick & ~pick_rev
@@ -304,33 +361,35 @@ def solve_batch_chunk(
         count = 2 * jnp.sum(sg_pos, axis=1).astype(I32)
         any_sg = count > 0
 
-        # ---- consistent branch (lagrange.hpp:397-409) ----
-        # top queue entry per edge: max profit, tie -> smallest partner id,
-        # with the self entry at profit 0 / partner id == own edge id.
-        tis_l = (mpp_l < 0) | ((mpp_l == 0) & (model.dual_l < m_top_l))
-        contrib = l_in & ~tis_l & is_top & (model.dual_m == m_top_l)
-        consistent_sum = jnp.sum(jnp.where(contrib, model.sscore, 0), axis=1)
+        # ---- consistent branch (lagrange.hpp:397-409): all per-slot ----
+        # top queue entry of each line edge, read through edge_ptr (small
+        # [B, S] gather chains); the self entry sits at profit 0 / partner
+        # id == own edge id
+        pos_slot = jnp.take_along_axis(edge_ptr, slot_edge, axis=1)
+        top_idx_slot = jnp.take_along_axis(pad_col(run_idx, d), pos_slot, axis=1)
+        mpp_slot = jnp.take_along_axis(pad_col(run_p, NEG_INF), pos_slot, axis=1)
+        m_top_slot = jnp.take_along_axis(pad_col(m_val, ne), top_idx_slot, axis=1)
+        s_top_slot = jnp.take_along_axis(
+            pad_col(model.sscore, 0), top_idx_slot, axis=1)
+        top_not_self = slot_valid & ~(
+            (mpp_slot < 0) | ((mpp_slot == 0) & (slot_edge < m_top_slot)))
+        consistent_sum = jnp.sum(jnp.where(top_not_self, s_top_slot, 0), axis=1)
 
-        # per-line matched state (compare-reduce over entries, no scatter):
-        # line k is matched iff its own top partner is real (top_not_self) or
-        # some contributing entry points at it (matched_m)
-        mpp_line = take(mpp, line_edges)
-        m_top_line = jnp.min(
-            jnp.where(
-                is_top[:, None, :] & (model.dual_l[:, None, :] == line_sel[:, :, None]),
-                model.dual_m[:, None, :], ne),
-            axis=2)
-        top_not_self_line = ~((mpp_line < 0) | ((mpp_line == 0) & (line_sel < m_top_line)))
-        matched_m_line = jnp.any(
-            contrib[:, None, :] & (model.dual_m[:, None, :] == line_sel[:, :, None]),
-            axis=2)
-        matched_cons_line = line_valid & (top_not_self_line | matched_m_line)
+        # a contributing line also marks its chosen partner's slot matched
+        # (when that partner is itself a line): scatter-or at a2 = row of the
+        # partner edge, guarded by partner[a2] agreeing
+        a2 = jnp.clip(m_top_slot // lb_max, 0, la_max - 1)
+        tgt_is_line = top_not_self & \
+            (jnp.take_along_axis(slot_edge, a2, axis=1) == m_top_slot)
+        matched_m_slot = jnp.zeros((b, la_max + 1), bool).at[
+            lane[:, None], jnp.where(tgt_is_line, a2, la_max)
+        ].max(tgt_is_line)[:, :la_max]
+        matched_cons_slot = slot_valid & (top_not_self | matched_m_slot)
 
         # ---- matching branch (lagrange.hpp:380-395) ----
-        cand = model.dvalid & l_in & m_in & (model.dual_l < model.dual_m) \
-            & any_sg[:, None] & act[:, None]
+        cand = cand_base & l_in & m_in & any_sg[:, None] & act[:, None]
         match_res = greedy_matching_compact(
-            2 * model.sscore, model.dual_l, model.dual_m, cand, line_sel,
+            2 * model.sscore, model.dual_l, model.dual_m, cand, slot_edge,
             model.qrank, lookahead, ne,
         )
         struct_part = jnp.where(any_sg, match_res.score, consistent_sum)
@@ -339,13 +398,13 @@ def solve_batch_chunk(
 
         # ---- best primal tracking (lagrange.hpp:416-421) ----
         better = act & (lower > c.best_score)
-        line_matched = jnp.where(
-            any_sg[:, None], match_res.used_slot, matched_cons_line
-        ) & line_valid
+        slot_matched = jnp.where(
+            any_sg[:, None], match_res.used_slot, matched_cons_slot
+        ) & slot_valid
         best_score = jnp.where(better, lower, c.best_score)
-        best_lines = jnp.where(better[:, None, None], tb.lines, c.best_lines)
+        best_partner = jnp.where(better[:, None], partner, c.best_partner)
         best_nlines = jnp.where(better, tb.n_lines, c.best_nlines)
-        best_matched = jnp.where(better[:, None], line_matched, c.best_matched)
+        best_matched = jnp.where(better[:, None], slot_matched, c.best_matched)
 
         # ---- bound bookkeeping (subgradient_solver.hpp:247-263) ----
         improved_u = act & (upper < c.best_upper)
@@ -367,7 +426,7 @@ def solve_batch_chunk(
         remaining = jnp.where(act, c.remaining - 1, c.remaining)
         done_now = act & ((best_upper == best_lower) | (remaining == 0))
 
-        return steps + 1, _Carry(
+        return steps_done + 1, _Carry(
             dual=dual,
             dual_at_queue=dual_at_queue,
             step_factor=step_factor,
@@ -377,15 +436,15 @@ def solve_batch_chunk(
             best_lower=best_lower,
             best_upper=best_upper,
             best_score=best_score,
-            best_lines=best_lines,
+            best_partner=best_partner,
             best_nlines=best_nlines,
             best_matched=best_matched,
             iterations=c.iterations + act.astype(I32),
         )
 
     def cond(state):
-        steps, c = state
-        return (steps < max_steps) & jnp.any(c.lane_active)
+        steps_done, c = state
+        return (steps_done < max_steps) & jnp.any(c.lane_active)
 
     _, final = jax.lax.while_loop(cond, body, (I32(0), carry))
     return final
@@ -401,16 +460,16 @@ def solve_batch_traced(
     num_iterations: int,
     max_nondecr: int,
     lookahead: int,
+    scan_steps: int = 0,
 ) -> BatchResult:
     """Fully-traced one-shot solve (for shard_map: the whole loop must live
     inside one traced program; per-device dispatches are short because each
     shard is small)."""
     b, _ = model.seq_score.shape
     d = model.dual_l.shape[1]
-    lcap = min(la_max, lb_max)
-    carry = _init_carry(b, d, lcap, step_factor0, num_iterations)
+    carry = _init_carry(b, d, la_max, step_factor0, num_iterations)
     final = solve_batch_chunk.__wrapped__(
         model, carry, go, ge, la_max, lb_max, num_iterations, max_nondecr,
-        lookahead,
+        lookahead, scan_steps,
     )
     return _result_of(final)

@@ -38,6 +38,15 @@ I32 = jnp.int32
 # lines * 2^18 in practice, like the reference's int32 ScoreType).
 I64 = jnp.int32
 
+
+def _use_pallas() -> bool:
+    """Mosaic rounds-loop kernel on TPU (LARA_NO_PALLAS=1 disables)."""
+    import os
+
+    if os.environ.get("LARA_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
 def _conflict_tables(lh: int) -> Tuple[np.ndarray, np.ndarray]:
     """Static pair enumeration in reference order: (0,1),(0,2),..,(1,2),..."""
     cx, cy = [], []
@@ -318,6 +327,13 @@ def greedy_matching_compact(w2, l_edge, m_edge, cand, line_edges, qrank,
         (keys, l_edge, m_edge, w2), dimension=1, num_keys=1)
 
     def rounds(width: int):
+        if _use_pallas():
+            from lara_tpu.solver.matching_pallas import rounds_loop_pallas
+
+            score, used = rounds_loop_pallas(
+                lq[:, :width], mq[:, :width], wq[:, :width], n_cand,
+                line_edges, lookahead, width)
+            return RoundsResult(score=score, used_slot=used)
         live = jnp.arange(width, dtype=I32)[None, :] < \
             jnp.minimum(n_cand, width)[:, None]
         return _rounds_loop(
