@@ -95,7 +95,7 @@ def main():
     def f(c):
         return device_solver.solve_batch_chunk(
             batch, c, go, ge, la_max, lb_max, 50,
-            int(params.max_nondecr_iterations), int(params.matching), 4)
+            int(params.max_nondecr_iterations), int(params.matching), 4, 1024)
 
     c2 = f(carry)
     jax.block_until_ready(c2.dual)

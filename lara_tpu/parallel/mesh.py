@@ -123,13 +123,14 @@ def pair_mesh(devices=None) -> Mesh:
 
 @functools.lru_cache(maxsize=32)
 def _sharded_solver(mesh: Mesh, la_max: int, lb_max: int, num_iterations: int,
-                    max_nondecr: int, lookahead: int, scan_steps: int = 0):
+                    max_nondecr: int, lookahead: int, scan_steps: int = 0,
+                    e_cap: int = 0):
     """Build the sharded solve function for one static configuration."""
 
     def impl(model, go, ge, step0):
         return device_solver.solve_batch_traced(
             model, go, ge, step0, la_max, lb_max, num_iterations,
-            max_nondecr, lookahead, scan_steps,
+            max_nondecr, lookahead, scan_steps, e_cap,
         )
 
     shard = jax.shard_map(
@@ -167,6 +168,7 @@ def solve_batch_sharded(
     lookahead: int,
     mesh: Optional[Mesh] = None,
     scan_steps: int = 0,
+    e_cap: int = 0,
 ) -> device_solver.BatchResult:
     """Shard the batch over all devices; pads the batch to a multiple of the
     mesh size with dummy lanes (la=lb=1, empty models) that converge in one
@@ -178,7 +180,7 @@ def solve_batch_sharded(
     if pad:
         model = pad_batch(model, pad)
     fn = _sharded_solver(mesh, la_max, lb_max, num_iterations, max_nondecr,
-                         lookahead, scan_steps)
+                         lookahead, scan_steps, e_cap)
     import jax.numpy as jnp
 
     result = fn(model, jnp.int32(go), jnp.int32(ge), jnp.float32(step0))

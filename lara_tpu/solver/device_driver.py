@@ -200,6 +200,7 @@ def _solve_models(store, chunk, models, params: Parameters,
     las = np.concatenate([las, np.ones(bp - b, np.int32)])
     lbs = np.concatenate([lbs, np.ones(bp - b, np.int32)])
     max_run = 1
+    max_edges = 1
     for k, m in enumerate(models):
         seq_score[k, : m.la, : m.lb] = m.seq_score
         active[k, : m.la, : m.lb] = m.active
@@ -214,13 +215,17 @@ def _solve_models(store, chunk, models, params: Parameters,
             rev[k, :d] = m.rev
             dvalid[k, :d] = True
             qrank[k, :d][m.qperm] = np.arange(d, dtype=np.int32)
-            max_run = max(max_run, int(np.max(
-                np.unique(m.dual_l, return_counts=True)[1])))
+            counts = np.unique(m.dual_l, return_counts=True)[1]
+            max_run = max(max_run, int(counts.max()))
+            max_edges = max(max_edges, len(counts))
     # run-scan depth: 2**steps must cover the longest per-edge run; round up
     # to even so compiled programs are reused across similar chunks
     steps_needed = max(1, (max_run - 1).bit_length())
     scan_steps = min(steps_needed + (steps_needed & 1),
                      max(1, (dcap - 1).bit_length()))
+    # compacted run-start capacity for the MXU grid placement (quantised for
+    # program reuse, bounded by the dual capacity)
+    e_cap = min(dcap, max(256, 1 << (max_edges - 1).bit_length()))
 
     batch = device_solver.BatchModel(
         seq_score=jnp.asarray(seq_score.reshape(bp, ne)),
@@ -247,14 +252,14 @@ def _solve_models(store, chunk, models, params: Parameters,
                 batch, go, ge, np.float32(params.step_size_factor),
                 la_max, lb_max, int(params.num_iterations),
                 int(params.max_nondecr_iterations), int(params.matching),
-                scan_steps=scan_steps,
+                scan_steps=scan_steps, e_cap=e_cap,
             )
         else:
             result = device_solver.solve_batch(
                 batch, go, ge, np.float32(params.step_size_factor),
                 la_max, lb_max, int(params.num_iterations),
                 int(params.max_nondecr_iterations), int(params.matching),
-                scan_steps=scan_steps,
+                scan_steps=scan_steps, e_cap=e_cap,
             )
 
     best_partner = np.asarray(result.best_partner)

@@ -46,7 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from lara_tpu.ops import gotoh
-from lara_tpu.solver.matching_device import greedy_matching_compact
+from lara_tpu.solver.matching_device import greedy_matching_queue
 from lara_tpu.types import INFINITY, PSSM_INIT
 
 I32 = jnp.int32
@@ -227,6 +227,7 @@ def solve_batch(
     lookahead: int,
     chunk: int = 50,
     scan_steps: int = 0,
+    e_cap: int = 0,
 ) -> BatchResult:
     """Host-chunked fused solve: the device while_loop runs at most ``chunk``
     iterations per dispatch (long single dispatches trip RPC watchdogs on
@@ -240,7 +241,7 @@ def solve_batch(
         carry = solve_batch_chunk(
             model, carry, go, ge, la_max, lb_max,
             min(chunk, num_iterations - total), max_nondecr, lookahead,
-            scan_steps,
+            scan_steps, e_cap,
         )
         total += chunk
         # read the flag one chunk late: the next dispatch is already queued
@@ -255,7 +256,7 @@ def solve_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("la_max", "lb_max", "max_steps", "max_nondecr",
-                     "lookahead", "scan_steps"),
+                     "lookahead", "scan_steps", "e_cap"),
     donate_argnames=("carry",),
 )
 def solve_batch_chunk(
@@ -269,12 +270,16 @@ def solve_batch_chunk(
     max_nondecr: int,
     lookahead: int,
     scan_steps: int = 0,
+    e_cap: int = 0,
 ) -> "_Carry":
     """Up to ``max_steps`` fused iterations; resumable.
 
     ``scan_steps``: number of doubling passes for the per-edge run scan;
     must satisfy 2**scan_steps >= the longest per-edge run in the batch.
     0 (default) = full depth ceil(log2(D)), always safe.
+    ``e_cap``: static capacity for the compacted run-start array (>= the
+    batch's max number of edges with dual entries) enabling the MXU grid
+    placement; 0 = scatter fallback.
     """
     b, ne = model.seq_score.shape
     d = model.dual_l.shape[1]
@@ -296,6 +301,26 @@ def solve_batch_chunk(
     # scatter destination per entry: run starts write their grid cell, all
     # others aim out of bounds (dropped); unique within a lane by definition
     start_dst = jnp.where(is_start, model.dual_l, ne)
+    if e_cap > 0:
+        # MXU grid placement: compact the <= e_cap run starts to the front
+        # (static sort key), then place values with an exact one-hot matmul
+        # (each grid cell receives at most one contribution, and the values
+        # are split into 16-bit halves, so f32 accumulation is exact)
+        n_starts = jnp.sum(is_start, axis=1).astype(I32)
+        start_rank = jnp.cumsum(is_start.astype(I32), axis=1) - 1
+        compact_key = jnp.where(is_start, start_rank, d + iota_d)
+        _, cells_sorted = jax.lax.sort(
+            (compact_key, model.dual_l), dimension=1, num_keys=1)
+        iota_e = jnp.arange(e_cap, dtype=I32)[None, :]
+        cells = jnp.where(iota_e < n_starts[:, None],
+                          cells_sorted[:, :e_cap], ne)       # [B, E]
+        cell_a = cells // lb_max
+        cell_b = cells - cell_a * lb_max
+        cell_ok = cells < ne
+        rowhot = ((cell_a[:, None, :] == jnp.arange(la_max, dtype=I32)[None, :, None])
+                  & cell_ok[:, None, :]).astype(jnp.float32)  # [B, LA, E]
+        colhot = ((cell_b[:, :, None] == jnp.arange(lb_max, dtype=I32)[None, None, :])
+                  & cell_ok[:, :, None]).astype(jnp.float32)  # [B, E, LB]
     # run-start position per grid edge (D = "no entries"); one scatter per
     # dispatch, amortized over max_steps iterations
     edge_ptr = jnp.full((b, ne + 1), d, I32).at[
@@ -305,7 +330,15 @@ def solve_batch_chunk(
     seq_pad = jnp.concatenate(
         [model.seq_score, jnp.zeros((b, 1), I32)], axis=1)
     slot_base = (jnp.arange(la_max, dtype=I32) * lb_max)[None, :]  # [1, S]
-    cand_base = model.dvalid & (model.dual_l < model.dual_m)
+    # matching queue, statically ordered once per dispatch (the queue key
+    # never involves duals, matching.hpp:149-151): one sort by qrank gives
+    # queue-ordered candidate columns, so the per-iteration matching needs
+    # no sort or compaction at all
+    cand_base = (model.dvalid & (model.dual_l < model.dual_m)).astype(I32)
+    _, lq_s, mq_s, wq_s, candq_base = jax.lax.sort(
+        (model.qrank, model.dual_l, model.dual_m, 2 * model.sscore,
+         cand_base), dimension=1, num_keys=1)
+    candq_base = candq_base != 0
 
     def pad_col(x, fill):
         return jnp.concatenate([x, jnp.full((b, 1), fill, x.dtype)], axis=1)
@@ -321,14 +354,31 @@ def solve_batch_chunk(
         run_p, run_idx = _run_top(masked, iota_d, same_masks, NEG_INF, I32(d))
         is_top = model.dvalid & (profits == run_p)
 
-        # ---- PSSM grid: one unique-index scatter of the run-start values
-        # (every position of a run carries the full-run aggregate, so the
-        # start value IS the per-edge max; non-starts are dropped OOB) ----
-        mpp_grid = jnp.full((b, ne), NEG_INF, I32).at[
-            lane[:, None], start_dst
-        ].set(run_p, mode="drop", unique_indices=True)
+        # ---- PSSM grid: place max(run max, 0) of each edge at its cell
+        # (run starts carry the full-run aggregate).  The uncovered-cell
+        # default is 0, which is exactly what max(mpp, 0) collapses to ----
+        bonus = jnp.maximum(run_p, 0)
+        if e_cap > 0:
+            # one static sort compacts start values; one MXU matmul places
+            # them (hi/lo 16-bit split keeps f32 accumulation exact)
+            _, vc = jax.lax.sort(
+                (compact_key, bonus), dimension=1, num_keys=1)
+            vc = vc[:, :e_cap]
+            colval = jnp.concatenate(
+                [colhot * (vc >> 16).astype(jnp.float32)[:, :, None],
+                 colhot * (vc & 0xFFFF).astype(jnp.float32)[:, :, None]],
+                axis=2)                                      # [B, E, 2*LB]
+            out = jnp.matmul(rowhot, colval)                 # [B, LA, 2*LB]
+            placed = (out[:, :, :lb_max].astype(I32) << 16) \
+                | out[:, :, lb_max:].astype(I32)
+            placed = placed.reshape(b, ne)
+        else:
+            placed = jnp.maximum(
+                jnp.full((b, ne), NEG_INF, I32).at[
+                    lane[:, None], start_dst
+                ].set(run_p, mode="drop", unique_indices=True), 0)
         pssm = jnp.where(
-            model.active, model.seq_score + jnp.maximum(mpp_grid, 0),
+            model.active, model.seq_score + placed,
             I32(PSSM_INIT)).reshape(b, la_max, lb_max)
 
         # ---- relaxed problem: wavefront DP + traceback ----
@@ -339,16 +389,18 @@ def solve_batch_chunk(
         # ---- current solution on dense position slots ----
         slot_valid = partner >= 0
         slot_edge = jnp.where(slot_valid, slot_base + partner, ne)  # [B, S]
-        seq_part = jnp.sum(
-            jnp.take_along_axis(seq_pad, slot_edge, axis=1), axis=1)
 
         # ---- line membership per entry: fused compare-reduce against the
         # <= S line edge ids (dynamic [B, D]-wide gathers are an order of
-        # magnitude slower than VPU compare streams on TPU) ----
+        # magnitude slower than VPU compare streams on TPU).  Edge-major
+        # l_in feeds the subgradients; the queue-ordered copies feed the
+        # matching candidate mask directly (no reordering) ----
         l_in = jnp.any(
             model.dual_l[:, :, None] == slot_edge[:, None, :], axis=2)
-        m_in = jnp.any(
-            model.dual_m[:, :, None] == slot_edge[:, None, :], axis=2)
+        l_in_q = jnp.any(
+            lq_s[:, :, None] == slot_edge[:, None, :], axis=2)
+        m_in_q = jnp.any(
+            mq_s[:, :, None] == slot_edge[:, None, :], axis=2)
 
         # ---- subgradients (lagrange.hpp:343-374) ----
         # cycle(i) = pick(rev(i)) by symmetry.  rev is an involution, so
@@ -362,15 +414,31 @@ def solve_batch_chunk(
         any_sg = count > 0
 
         # ---- consistent branch (lagrange.hpp:397-409): all per-slot ----
-        # top queue entry of each line edge, read through edge_ptr (small
-        # [B, S] gather chains); the self entry sits at profit 0 / partner
-        # id == own edge id
-        pos_slot = jnp.take_along_axis(edge_ptr, slot_edge, axis=1)
-        top_idx_slot = jnp.take_along_axis(pad_col(run_idx, d), pos_slot, axis=1)
-        mpp_slot = jnp.take_along_axis(pad_col(run_p, NEG_INF), pos_slot, axis=1)
-        m_top_slot = jnp.take_along_axis(pad_col(m_val, ne), top_idx_slot, axis=1)
-        s_top_slot = jnp.take_along_axis(
-            pad_col(model.sscore, 0), top_idx_slot, axis=1)
+        # top queue entry of each line edge, read through edge_ptr; gathers
+        # sharing an index are fused into one two-source take (per-gather
+        # call overhead dominates at [B, S] sizes).  The self entry sits at
+        # profit 0 / partner id == own edge id
+        s_cols = slot_edge.shape[1]
+        seqv_pos = jnp.take_along_axis(
+            jnp.concatenate([seq_pad, edge_ptr], axis=1),
+            jnp.concatenate([slot_edge, slot_edge + (ne + 1)], axis=1),
+            axis=1)
+        seq_slot = seqv_pos[:, :s_cols]
+        pos_slot = seqv_pos[:, s_cols:]
+        seq_part = jnp.sum(jnp.where(slot_valid, seq_slot, 0), axis=1)
+        idx_mpp = jnp.take_along_axis(
+            jnp.concatenate([pad_col(run_idx, d), pad_col(run_p, NEG_INF)],
+                            axis=1),
+            jnp.concatenate([pos_slot, pos_slot + (d + 1)], axis=1), axis=1)
+        top_idx_slot = idx_mpp[:, :s_cols]
+        mpp_slot = idx_mpp[:, s_cols:]
+        m_s_top = jnp.take_along_axis(
+            jnp.concatenate([pad_col(m_val, ne), pad_col(model.sscore, 0)],
+                            axis=1),
+            jnp.concatenate([top_idx_slot, top_idx_slot + (d + 1)], axis=1),
+            axis=1)
+        m_top_slot = m_s_top[:, :s_cols]
+        s_top_slot = m_s_top[:, s_cols:]
         top_not_self = slot_valid & ~(
             (mpp_slot < 0) | ((mpp_slot == 0) & (slot_edge < m_top_slot)))
         consistent_sum = jnp.sum(jnp.where(top_not_self, s_top_slot, 0), axis=1)
@@ -387,10 +455,9 @@ def solve_batch_chunk(
         matched_cons_slot = slot_valid & (top_not_self | matched_m_slot)
 
         # ---- matching branch (lagrange.hpp:380-395) ----
-        cand = cand_base & l_in & m_in & any_sg[:, None] & act[:, None]
-        match_res = greedy_matching_compact(
-            2 * model.sscore, model.dual_l, model.dual_m, cand, slot_edge,
-            model.qrank, lookahead, ne,
+        cand_q = candq_base & l_in_q & m_in_q & any_sg[:, None] & act[:, None]
+        match_res = greedy_matching_queue(
+            lq_s, mq_s, wq_s, cand_q, slot_edge, lookahead,
         )
         struct_part = jnp.where(any_sg, match_res.score, consistent_sum)
 
@@ -461,6 +528,7 @@ def solve_batch_traced(
     max_nondecr: int,
     lookahead: int,
     scan_steps: int = 0,
+    e_cap: int = 0,
 ) -> BatchResult:
     """Fully-traced one-shot solve (for shard_map: the whole loop must live
     inside one traced program; per-device dispatches are short because each
@@ -470,6 +538,6 @@ def solve_batch_traced(
     carry = _init_carry(b, d, la_max, step_factor0, num_iterations)
     final = solve_batch_chunk.__wrapped__(
         model, carry, go, ge, la_max, lb_max, num_iterations, max_nondecr,
-        lookahead, scan_steps,
+        lookahead, scan_steps, e_cap,
     )
     return _result_of(final)

@@ -327,15 +327,15 @@ def greedy_matching_compact(w2, l_edge, m_edge, cand, line_edges, qrank,
         (keys, l_edge, m_edge, w2), dimension=1, num_keys=1)
 
     def rounds(width: int):
+        live = jnp.arange(width, dtype=I32)[None, :] < \
+            jnp.minimum(n_cand, width)[:, None]
         if _use_pallas():
             from lara_tpu.solver.matching_pallas import rounds_loop_pallas
 
             score, used = rounds_loop_pallas(
-                lq[:, :width], mq[:, :width], wq[:, :width], n_cand,
+                lq[:, :width], mq[:, :width], wq[:, :width], live,
                 line_edges, lookahead, width)
             return RoundsResult(score=score, used_slot=used)
-        live = jnp.arange(width, dtype=I32)[None, :] < \
-            jnp.minimum(n_cand, width)[:, None]
         return _rounds_loop(
             lq[:, :width], mq[:, :width], wq[:, :width], live, line_edges,
             n_cand, lookahead, width)
@@ -528,3 +528,24 @@ def greedy_matching_batch(w2, l_edge, m_edge, cand, lookahead: int, n_edges: int
 
     final = jax.lax.while_loop(cond, body, state)
     return MatchingResult(score=final.score, used_vertex=final.used)
+
+
+@functools.partial(jax.jit, static_argnames=("lookahead",))
+def greedy_matching_queue(lq, mq, wq, live, line_edges,
+                          lookahead: int) -> RoundsResult:
+    """Greedy lookahead matching over statically queue-ordered columns.
+
+    The caller pre-sorts the dual table by the static queue rank once per
+    batch (the queue key never involves duals, ``matching.hpp:149-151``), so
+    the per-iteration candidate set arrives as a ``live`` mask over the
+    queue-ordered columns -- no per-iteration sort or compaction at all.
+    """
+    b, d = lq.shape
+    n_cand = jnp.sum(live, axis=1).astype(I32)
+    if _use_pallas():
+        from lara_tpu.solver.matching_pallas import rounds_loop_pallas
+
+        score, used = rounds_loop_pallas(
+            lq, mq, wq, live, line_edges, lookahead, d)
+        return RoundsResult(score=score, used_slot=used)
+    return _rounds_loop(lq, mq, wq, live, line_edges, n_cand, lookahead, d)

@@ -53,16 +53,16 @@ def _make_kernel(lh: int, width: int, s_pad: int):
     # subsets in popcount-descending fill order (full set excluded: memo 0)
     fill_order = sorted(range(n_sub - 1), key=lambda e: -bin(e).count("1"))
 
-    def _kernel(ncand_ref, lq_ref, mq_ref, wq_ref, line_ref, score_ref,
+    def _kernel(live_ref, lq_ref, mq_ref, wq_ref, line_ref, score_ref,
                 used_ref):
         bb = lq_ref.shape[0]
         col = jax.lax.broadcasted_iota(I32, (bb, width), dimension=1)
         lq = lq_ref[...]
         mq = mq_ref[...]
         wq = wq_ref[...]
-        ncand = ncand_ref[...]  # [BB, 1]
-        line = line_ref[...]    # [BB, S_pad]
-        live = col < jnp.minimum(ncand, width)
+        live = live_ref[...] != 0   # [BB, W] queue-ordered live mask
+        line = line_ref[...]        # [BB, S_pad]
+        ncand = jnp.sum(live.astype(I32), axis=1, keepdims=True)
         lh_lane = jnp.minimum(I32(lh), ncand)  # [BB, 1]
 
         def cumsum_w(x):
@@ -247,13 +247,14 @@ def _make_kernel(lh: int, width: int, s_pad: int):
 
 @functools.partial(
     jax.jit, static_argnames=("lookahead", "width", "block_b", "interpret"))
-def rounds_loop_pallas(lq, mq, wq, n_cand, line_edges, lookahead: int,
+def rounds_loop_pallas(lq, mq, wq, live, line_edges, lookahead: int,
                        width: int, block_b: int = 64,
                        interpret: bool = False):
-    """Kernel-backed drop-in for the compacted matching rounds loop.
+    """Kernel-backed matching rounds loop over queue-ordered candidates.
 
-    ``lq/mq/wq``: [B, W] queue-ordered compacted candidates; ``n_cand``: [B]
-    live candidate count; ``line_edges``: [B, S] flat edge id per line slot
+    ``lq/mq/wq``: [B, W] queue-ordered candidate columns; ``live``: [B, W]
+    bool mask of live candidates (any sparsity pattern -- position order is
+    queue order); ``line_edges``: [B, S] flat edge id per line slot
     (sentinel >= ne for invalid).  Returns (score [B], used_slot [B, S]).
     """
     b, w = lq.shape
@@ -273,14 +274,14 @@ def rounds_loop_pallas(lq, mq, wq, n_cand, line_edges, lookahead: int,
     wq_p = padb(wq, 0)
     line_p = jnp.pad(line_edges, ((0, bp - b), (0, sp - s)),
                      constant_values=jnp.iinfo(jnp.int32).max)
-    ncand_p = jnp.zeros((bp, 1), I32).at[:b, 0].set(n_cand.astype(I32))
+    live_p = padb(live.astype(I32), 0)
 
     grid = (bp // bb,)
     score, used = pl.pallas_call(
         _make_kernel(lh, wp, sp),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bb, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, wp), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, wp), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, wp), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, wp), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -295,6 +296,6 @@ def rounds_loop_pallas(lq, mq, wq, n_cand, line_edges, lookahead: int,
             jax.ShapeDtypeStruct((bp, sp), jnp.int32),
         ],
         interpret=interpret,
-    )(ncand_p, lq_p, mq_p, wq_p, line_p)
+    )(live_p, lq_p, mq_p, wq_p, line_p)
 
     return score[:b, 0], used[:b, :s].astype(bool)
