@@ -11,19 +11,23 @@ replacement for the reference's OpenMP work stealing + SIMD lane masking
 Layout invariants (set up by :mod:`lara_tpu.solver.interactions` and the
 driver): the dual table is edge-major -- entries sorted by (l, m), one
 contiguous run per alignment edge, partner ids ascending within a run.
-Everything the iteration needs at grid or line granularity is then *derived
-by gathers from run aggregates*, never by scatters or [B, D, LINES]
-compare-reduces:
+The iteration avoids everything the TPU memory system punishes -- dynamic
+row gathers (~10ns/element) and scatters -- and leans on what it rewards
+(compare-reduce streams, static-key sorts, MXU matmuls, Mosaic kernels):
 
-* per-edge queue top (max profit; ties -> smallest partner id;
-  ``lagrange.hpp:121,305-309``) = one segmented doubling scan whose depth is
-  capped by the true maximum run length (static ``scan_steps``),
-* the dense PSSM grid = one gather of the run maxima through ``edge_ptr``
-  (run-start index per grid cell, built once per dispatch),
-* line membership of an entry = one gather into the DP's dense partner map
-  (``partner[a] == b``),
-* all per-line state lives on dense position slots ([B, LA]): slot a is the
-  line (a, partner[a]).
+* per-edge queue top (max profit; ties -> smallest partner id == smallest
+  entry index; ``lagrange.hpp:121,305-309``) = one segmented doubling scan
+  capped at the true maximum run length (static ``scan_steps``),
+* the dense PSSM grid = run-start values compacted by a static-key sort and
+  placed by an exact one-hot MXU matmul (hi/lo 16-bit split; every cell has
+  at most one contributor, so f32 accumulation is exact),
+* line membership of an entry = fused compare-reduce against the <= LA line
+  edge ids; all per-line state lives on dense position slots ([B, LA]):
+  slot a is the line (a, partner[a]),
+* per-line "consistent branch" state is derived at entry level from the
+  unique run-top entry (at it, profits == run max and dual_m == partner),
+* greedy matching runs as one Mosaic kernel over statically queue-ordered
+  candidate columns (:mod:`lara_tpu.solver.matching_pallas`).
 
 Numeric parity notes:
 * all profits int32; duals int32 with float32 step arithmetic and
@@ -292,7 +296,6 @@ def solve_batch_chunk(
 
     # ---- loop-invariant precomputation (hoisted out of the while body) ----
     same_masks = _same_segment_masks(model.dual_l, steps)
-    m_val = jnp.where(model.dvalid, model.dual_m, ne)
     iota_d = jnp.broadcast_to(jnp.arange(d, dtype=I32), (b, d))
     # run starts (static): first entry of each contiguous dual_l run
     prev_l = jnp.concatenate(
@@ -321,14 +324,6 @@ def solve_batch_chunk(
                   & cell_ok[:, None, :]).astype(jnp.float32)  # [B, LA, E]
         colhot = ((cell_b[:, :, None] == jnp.arange(lb_max, dtype=I32)[None, None, :])
                   & cell_ok[:, :, None]).astype(jnp.float32)  # [B, E, LB]
-    # run-start position per grid edge (D = "no entries"); one scatter per
-    # dispatch, amortized over max_steps iterations
-    edge_ptr = jnp.full((b, ne + 1), d, I32).at[
-        lane[:, None], jnp.where(model.dvalid, model.dual_l, ne)
-    ].min(iota_d)
-    # [B, NE+1] seq scores with 0 at the sentinel column (invalid slots)
-    seq_pad = jnp.concatenate(
-        [model.seq_score, jnp.zeros((b, 1), I32)], axis=1)
     slot_base = (jnp.arange(la_max, dtype=I32) * lb_max)[None, :]  # [1, S]
     # matching queue, statically ordered once per dispatch (the queue key
     # never involves duals, matching.hpp:149-151): one sort by qrank gives
@@ -339,9 +334,6 @@ def solve_batch_chunk(
         (model.qrank, model.dual_l, model.dual_m, 2 * model.sscore,
          cand_base), dimension=1, num_keys=1)
     candq_base = candq_base != 0
-
-    def pad_col(x, fill):
-        return jnp.concatenate([x, jnp.full((b, 1), fill, x.dtype)], axis=1)
 
     def body(state):
         steps_done, c = state
@@ -389,6 +381,11 @@ def solve_batch_chunk(
         # ---- current solution on dense position slots ----
         slot_valid = partner >= 0
         slot_edge = jnp.where(slot_valid, slot_base + partner, ne)  # [B, S]
+        pmask = partner[:, :, None] == \
+            jnp.arange(lb_max, dtype=I32)[None, None, :]       # [B, LA, LB]
+        seq_part = jnp.sum(jnp.where(
+            pmask, model.seq_score.reshape(b, la_max, lb_max), 0),
+            axis=(1, 2))
 
         # ---- line membership per entry: fused compare-reduce against the
         # <= S line edge ids (dynamic [B, D]-wide gathers are an order of
@@ -413,46 +410,26 @@ def solve_batch_chunk(
         count = 2 * jnp.sum(sg_pos, axis=1).astype(I32)
         any_sg = count > 0
 
-        # ---- consistent branch (lagrange.hpp:397-409): all per-slot ----
-        # top queue entry of each line edge, read through edge_ptr; gathers
-        # sharing an index are fused into one two-source take (per-gather
-        # call overhead dominates at [B, S] sizes).  The self entry sits at
-        # profit 0 / partner id == own edge id
-        s_cols = slot_edge.shape[1]
-        seqv_pos = jnp.take_along_axis(
-            jnp.concatenate([seq_pad, edge_ptr], axis=1),
-            jnp.concatenate([slot_edge, slot_edge + (ne + 1)], axis=1),
-            axis=1)
-        seq_slot = seqv_pos[:, :s_cols]
-        pos_slot = seqv_pos[:, s_cols:]
-        seq_part = jnp.sum(jnp.where(slot_valid, seq_slot, 0), axis=1)
-        idx_mpp = jnp.take_along_axis(
-            jnp.concatenate([pad_col(run_idx, d), pad_col(run_p, NEG_INF)],
-                            axis=1),
-            jnp.concatenate([pos_slot, pos_slot + (d + 1)], axis=1), axis=1)
-        top_idx_slot = idx_mpp[:, :s_cols]
-        mpp_slot = idx_mpp[:, s_cols:]
-        m_s_top = jnp.take_along_axis(
-            jnp.concatenate([pad_col(m_val, ne), pad_col(model.sscore, 0)],
-                            axis=1),
-            jnp.concatenate([top_idx_slot, top_idx_slot + (d + 1)], axis=1),
-            axis=1)
-        m_top_slot = m_s_top[:, :s_cols]
-        s_top_slot = m_s_top[:, s_cols:]
-        top_not_self = slot_valid & ~(
-            (mpp_slot < 0) | ((mpp_slot == 0) & (slot_edge < m_top_slot)))
-        consistent_sum = jnp.sum(jnp.where(top_not_self, s_top_slot, 0), axis=1)
+        # ---- consistent branch (lagrange.hpp:397-409): entry-level ----
+        # the UNIQUE top entry of a run (index == run_idx: ties in profit
+        # break to the smallest partner, matching the queue order) carries
+        # everything the per-line state needs: at that entry, profits ==
+        # per-edge max and dual_m == the chosen partner.  top-is-self =
+        # the self queue entry (profit 0, partner == own id) outranks it.
+        # No dynamic gathers anywhere (TPU row gathers cost ~10ns/element).
+        is_top_exact = model.dvalid & (iota_d == run_idx)
+        tis_entry = (profits < 0) | ((profits == 0)
+                                     & (model.dual_l < model.dual_m))
+        contrib = is_top_exact & l_in & ~tis_entry
+        consistent_sum = jnp.sum(jnp.where(contrib, model.sscore, 0), axis=1)
 
-        # a contributing line also marks its chosen partner's slot matched
-        # (when that partner is itself a line): scatter-or at a2 = row of the
-        # partner edge, guarded by partner[a2] agreeing
-        a2 = jnp.clip(m_top_slot // lb_max, 0, la_max - 1)
-        tgt_is_line = top_not_self & \
-            (jnp.take_along_axis(slot_edge, a2, axis=1) == m_top_slot)
-        matched_m_slot = jnp.zeros((b, la_max + 1), bool).at[
-            lane[:, None], jnp.where(tgt_is_line, a2, la_max)
-        ].max(tgt_is_line)[:, :la_max]
-        matched_cons_slot = slot_valid & (top_not_self | matched_m_slot)
+        # a line slot is matched in the consistent case iff its own top
+        # contributes, or some contributing line chose it as partner
+        matched_cons_slot = slot_valid & jnp.any(
+            contrib[:, :, None]
+            & ((model.dual_l[:, :, None] == slot_edge[:, None, :])
+               | (model.dual_m[:, :, None] == slot_edge[:, None, :])),
+            axis=1)
 
         # ---- matching branch (lagrange.hpp:380-395) ----
         cand_q = candq_base & l_in_q & m_in_q & any_sg[:, None] & act[:, None]
