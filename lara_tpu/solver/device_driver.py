@@ -268,7 +268,9 @@ def _solve_models(store, chunk, models, params: Parameters,
     best_lower = np.asarray(result.best_lower)
     best_upper = np.asarray(result.best_upper)
     iterations = np.asarray(result.iterations)
-    dual_q = np.asarray(result.dual_at_queue)
+    # the [B, D] dual snapshot is only consumed by linear libscore mode
+    dual_q = np.asarray(result.dual_at_queue) \
+        if params.library_score_is_linear else None
 
     for k, (ia, ib) in enumerate(chunk):
         pk = best_partner[k, : int(las[k])]
@@ -277,7 +279,8 @@ def _solve_models(store, chunk, models, params: Parameters,
         lines = [(int(a), int(pk[a])) for a in a_pos]
         matched = best_matched[k, a_pos]
         columns = _structure_columns(
-            models[k], params, lines, matched, dual_q[k, : len(models[k].dual_l)]
+            models[k], params, lines, matched,
+            None if dual_q is None else dual_q[k, : len(models[k].dual_l)],
         )
         swap = ia > ib
         if swap:

@@ -229,7 +229,7 @@ def solve_batch(
     num_iterations: int,
     max_nondecr: int,
     lookahead: int,
-    chunk: int = 50,
+    chunk: int = 125,
     scan_steps: int = 0,
     e_cap: int = 0,
 ) -> BatchResult:
@@ -327,13 +327,22 @@ def solve_batch_chunk(
     slot_base = (jnp.arange(la_max, dtype=I32) * lb_max)[None, :]  # [1, S]
     # matching queue, statically ordered once per dispatch (the queue key
     # never involves duals, matching.hpp:149-151): one sort by qrank gives
-    # queue-ordered candidate columns, so the per-iteration matching needs
-    # no sort or compaction at all
+    # queue-ordered candidate columns; a second static sort compacts the
+    # l < m half (each undirected interaction enters the queue once), so
+    # the per-iteration matching runs at half width with no sort at all
     cand_base = (model.dvalid & (model.dual_l < model.dual_m)).astype(I32)
     _, lq_s, mq_s, wq_s, candq_base = jax.lax.sort(
         (model.qrank, model.dual_l, model.dual_m, 2 * model.sscore,
          cand_base), dimension=1, num_keys=1)
-    candq_base = candq_base != 0
+    cw = max(1, d // 2)
+    ckey = jnp.where(candq_base != 0, iota_d, d + iota_d)
+    _, lq_c, mq_c, wq_c = jax.lax.sort(
+        (ckey, lq_s, mq_s, wq_s), dimension=1, num_keys=1)
+    lq_c = lq_c[:, :cw]
+    mq_c = mq_c[:, :cw]
+    wq_c = wq_c[:, :cw]
+    nc_base = jnp.sum(candq_base, axis=1).astype(I32)
+    iota_cw = jnp.arange(cw, dtype=I32)[None, :]
 
     def body(state):
         steps_done, c = state
@@ -395,9 +404,9 @@ def solve_batch_chunk(
         l_in = jnp.any(
             model.dual_l[:, :, None] == slot_edge[:, None, :], axis=2)
         l_in_q = jnp.any(
-            lq_s[:, :, None] == slot_edge[:, None, :], axis=2)
+            lq_c[:, :, None] == slot_edge[:, None, :], axis=2)
         m_in_q = jnp.any(
-            mq_s[:, :, None] == slot_edge[:, None, :], axis=2)
+            mq_c[:, :, None] == slot_edge[:, None, :], axis=2)
 
         # ---- subgradients (lagrange.hpp:343-374) ----
         # cycle(i) = pick(rev(i)) by symmetry.  rev is an involution, so
@@ -432,9 +441,10 @@ def solve_batch_chunk(
             axis=1)
 
         # ---- matching branch (lagrange.hpp:380-395) ----
-        cand_q = candq_base & l_in_q & m_in_q & any_sg[:, None] & act[:, None]
+        cand_q = (iota_cw < nc_base[:, None]) & l_in_q & m_in_q \
+            & any_sg[:, None] & act[:, None]
         match_res = greedy_matching_queue(
-            lq_s, mq_s, wq_s, cand_q, slot_edge, lookahead,
+            lq_c, mq_c, wq_c, cand_q, slot_edge, lookahead,
         )
         struct_part = jnp.where(any_sg, match_res.score, consistent_sum)
 

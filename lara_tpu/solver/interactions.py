@@ -53,12 +53,22 @@ class PairModel:
     qperm: np.ndarray      # [D] int32: queue position -> edge-major index
 
 
+_ADJ_CACHE: dict = {}
+
+
 def adjacency_arrays(record: RnaRecord, length: int, precise: bool):
     """Padded adjacency: partners [length, K] (pad -1) and weights [length, K].
 
     Weights carry the reference's int truncation (``Contact`` holds int32,
     ``data_types.hpp:70``) unless ``precise`` is set.
+
+    Memoized per record object (records recur in ~N pairs of the all-pairs
+    batch; the python edge loop dominated the host model build otherwise).
     """
+    key = (id(record), length, precise)
+    hit = _ADJ_CACHE.get(key)
+    if hit is not None and hit[0] is record:
+        return hit[1], hit[2]
     adj: List[List[Tuple[int, float]]] = [[] for _ in range(length)]
     for (i, j, w) in record.structure_edges:
         weight = float(w) if precise else float(contact_weight_to_int(w))
@@ -72,6 +82,9 @@ def adjacency_arrays(record: RnaRecord, length: int, precise: bool):
         for k, (j, w) in enumerate(lst):
             partners[i, k] = j
             weights[i, k] = w
+    if len(_ADJ_CACHE) > 4096:
+        _ADJ_CACHE.clear()
+    _ADJ_CACHE[key] = (record, partners, weights)
     return partners, weights
 
 
