@@ -87,12 +87,14 @@ def main():
     base_time = time.perf_counter() - t0
     base_rate = n_base / base_time
 
-    # sanity: identical outputs on the common subset
+    # correctness gate: the benchmark number is only valid if the device
+    # backend matches the scalar mirror bit-for-bit on the common subset
     for res_d, res_r in zip(results[:n_base], base_results):
         if (res_d.seq_indices == res_r.seq_indices
                 and res_d.columns != res_r.columns):
-            print("WARNING: device/reference mismatch on "
+            print("FATAL: device/reference mismatch on "
                   f"{res_d.seq_indices}", file=sys.stderr)
+            sys.exit(1)
 
     print(json.dumps({
         "metric": "pairwise structural alignments/s (tRNA-scale all-pairs)",

@@ -31,11 +31,31 @@ _OPEN = "([{<"
 _CLOSE = ")]}>"
 
 
+def _open_text(filename: str, errors: str = "strict"):
+    """Open a text file, transparently decompressing ``.gz``/``.bz2``
+    (the reference links zlib/bzip2 into SeqAn's streams,
+    ``CMakeLists.txt:115-117``, so every input format accepts them)."""
+    lower = filename.lower()
+    if lower.endswith(".gz"):
+        import gzip
+
+        return gzip.open(filename, "rt", encoding="utf-8", errors=errors)
+    if lower.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(filename, "rt", encoding="utf-8", errors=errors)
+    return open(filename, "r", encoding="utf-8", errors=errors)
+
+
 def read_rna_file(filename: str) -> List[RnaRecord]:
-    """Dispatch on file extension like SeqAn's file-format guessing."""
+    """Dispatch on file extension like SeqAn's file-format guessing;
+    a trailing ``.gz``/``.bz2`` is stripped before format detection."""
     if not os.path.exists(filename):
         raise LaraInputError(f"The file {filename} cannot be opened.")
-    ext = os.path.splitext(filename)[1].lower()
+    base = filename
+    if base.lower().endswith((".gz", ".bz2")):
+        base = os.path.splitext(base)[0]
+    ext = os.path.splitext(base)[1].lower()
     if ext in (".dbn", ".dbv"):
         return read_dot_bracket(filename)
     if ext == ".ct":
@@ -98,7 +118,7 @@ def read_dot_bracket(filename: str) -> List[RnaRecord]:
     """``>name`` / sequence / bracket-string records; energy suffix in
     parentheses after the bracket string is ignored."""
     records: List[RnaRecord] = []
-    with open(filename, "r", encoding="utf-8") as handle:
+    with _open_text(filename) as handle:
         lines = [ln.rstrip() for ln in handle if ln.strip()]
     idx = 0
     while idx < len(lines):
@@ -136,7 +156,7 @@ def read_fasta(filename: str) -> List[RnaRecord]:
     records: List[RnaRecord] = []
     name = None
     chunks: List[str] = []
-    with open(filename, "r", encoding="utf-8") as handle:
+    with _open_text(filename) as handle:
         for line in handle:
             line = line.rstrip()
             if line.startswith(">"):
@@ -158,7 +178,7 @@ def read_fasta(filename: str) -> List[RnaRecord]:
 
 def read_fastq(filename: str) -> List[RnaRecord]:
     records: List[RnaRecord] = []
-    with open(filename, "r", encoding="utf-8") as handle:
+    with _open_text(filename) as handle:
         lines = [ln.rstrip() for ln in handle if ln.strip()]
     for idx in range(0, len(lines), 4):
         if not lines[idx].startswith("@"):
@@ -175,7 +195,7 @@ def read_embl(filename: str) -> List[RnaRecord]:
     name = None
     seq_parts: List[str] = []
     in_seq = False
-    with open(filename, "r", encoding="utf-8") as handle:
+    with _open_text(filename) as handle:
         for line in handle:
             if line.startswith("ID"):
                 name = line[2:].strip().split(";")[0].strip()
@@ -204,7 +224,7 @@ def read_genbank(filename: str) -> List[RnaRecord]:
     name = None
     seq_parts: List[str] = []
     in_seq = False
-    with open(filename, "r", encoding="utf-8") as handle:
+    with _open_text(filename) as handle:
         for line in handle:
             if line.startswith("LOCUS"):
                 parts = line.split()
@@ -230,7 +250,7 @@ def read_genbank(filename: str) -> List[RnaRecord]:
 def read_raw(filename: str) -> List[RnaRecord]:
     """Raw format: one bare sequence per line (SeqAn ``Raw``)."""
     records: List[RnaRecord] = []
-    with open(filename, "r", encoding="utf-8") as handle:
+    with _open_text(filename) as handle:
         for line in handle:
             seq = line.strip()
             if seq:
@@ -250,7 +270,7 @@ def read_connect(filename: str) -> List[RnaRecord]:
     """CT format: header ``<N> [ENERGY = x] <name>``, then per-base rows
     ``idx base prev next pair idx2``.  Multiple records may be concatenated."""
     records: List[RnaRecord] = []
-    with open(filename, "r", encoding="utf-8") as handle:
+    with _open_text(filename) as handle:
         lines = [ln.rstrip() for ln in handle if ln.strip()]
     idx = 0
     while idx < len(lines):
@@ -286,7 +306,7 @@ def read_bpseq(filename: str) -> List[RnaRecord]:
     name = os.path.splitext(os.path.basename(filename))[0]
     seq_chars: List[str] = []
     edges: List[Tuple[int, int, float]] = []
-    with open(filename, "r", encoding="utf-8") as handle:
+    with _open_text(filename) as handle:
         for line in handle:
             line = line.strip()
             if not line:
@@ -317,7 +337,7 @@ def read_ebpseq(filename: str) -> List[RnaRecord]:
     records: List[RnaRecord] = []
     current: RnaRecord = None  # type: ignore[assignment]
     columns: List[str] = []
-    with open(filename, "r", encoding="utf-8") as handle:
+    with _open_text(filename) as handle:
         for line in handle:
             line = line.strip()
             if not line:
@@ -379,7 +399,7 @@ def read_stockholm(filename: str) -> List[RnaRecord]:
     seq_order: List[str] = []
     seqs: dict = {}
     ss_cons = ""
-    with open(filename, "r", encoding="utf-8") as handle:
+    with _open_text(filename) as handle:
         for line in handle:
             line = line.rstrip()
             if not line or line.startswith("# STOCKHOLM") or line == "//":
@@ -453,7 +473,7 @@ def read_dotplot(filename: str) -> RnaRecord:
     sequence_chunks: List[str] = []
     bpp_edges: List[Tuple[int, int, float]] = []
     fixed_edges: List[Tuple[int, int, float]] = []
-    with open(filename, "r", encoding="utf-8", errors="replace") as handle:
+    with _open_text(filename, errors="replace") as handle:
         lines = iter(handle)
         for line in lines:
             if "/sequence" in line:

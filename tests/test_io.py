@@ -220,3 +220,52 @@ def test_read_raw(tmp_path):
     records = readers.read_raw(str(f))
     assert [r.sequence for r in records] == ["GGGGAAAA", "ACCG"]
     assert records[0].name == "sequence1"
+
+
+def test_gzip_and_bzip2_inputs(tmp_path):
+    """zlib/bzip2-compressed inputs are read transparently for every format
+    (reference parity: CMakeLists.txt:115-117 links zlib/bzip2 into SeqAn)."""
+    import bz2
+    import gzip
+
+    dbn = ">h1\nGGGGAAAACCCC\n((((....))))\n>h2\nGGGCAAAAGCCC\n(((......)))\n"
+    gz_path = tmp_path / "two.dbn.gz"
+    with gzip.open(gz_path, "wt") as handle:
+        handle.write(dbn)
+    records = readers.read_rna_file(str(gz_path))
+    assert [r.name for r in records] == ["h1", "h2"]
+    assert records[0].fixed_edges[0] == (0, 11, 1.0)
+
+    fa = ">a\nGGGGAAAACCCC\n>b\nGGGCAAAAGCCC\n"
+    bz_path = tmp_path / "two.fa.bz2"
+    with bz2.open(bz_path, "wt") as handle:
+        handle.write(fa)
+    records = readers.read_rna_file(str(bz_path))
+    assert [r.sequence for r in records] == ["GGGGAAAACCCC", "GGGCAAAAGCCC"]
+
+
+def test_stockholm_wuss_pseudoknot_lowercase(tmp_path):
+    """Pins the WUSS lowercase policy on an Rfam-seed-shaped SS_cons: in
+    Rfam/Infernal WUSS, uppercase letters OPEN pseudoknot stems and the
+    matching lowercase letters CLOSE them (``AAA...aaa``); the unpaired
+    markers are ``.,:_-~``.  SeqAn 2.4's own behavior is unverifiable here
+    (empty vendored submodule), so lara-tpu pins the Rfam semantics."""
+    sth = tmp_path / "pk.sth"
+    # shaped like an Rfam seed with a 2-bp pseudoknot crossing a stem
+    sth.write_text(
+        "# STOCKHOLM 1.0\n"
+        "#=GF ID fake-pk\n"
+        "s1 GGGCAAAAGCCCAAGG\n"
+        "s2 GGGCAAAAGCCCAAGG\n"
+        "#=GC SS_cons <<<<AA..>>>>,:aa\n"
+        "//\n"
+    )
+    records = readers.read_rna_file(str(sth))
+    edges = [(i, j) for (i, j, _w) in records[0].fixed_edges]
+    # nested stem from <<<<...>>>>
+    for pair in [(0, 11), (1, 10), (2, 9), (3, 8)]:
+        assert pair in edges
+    # pseudoknot stem AA...aa crossing it: stack semantics (5,14),(4,15)
+    assert (4, 15) in edges and (5, 14) in edges
+    # ',' and ':' columns are unpaired
+    assert len(edges) == 6
