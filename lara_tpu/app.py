@@ -43,12 +43,11 @@ def load_input(params: Parameters) -> InputStorage:
     )
 
 
-def _apply_platform_env() -> None:
-    """Honour LARA_PLATFORM=cpu|tpu (the TPU plugin in some environments
-    ignores JAX_PLATFORMS, so use the config API before first backend use)
-    and enable the persistent compilation cache: the solver is one large XLA
-    program + Mosaic kernels whose first compile costs minutes, so CLI
-    processes must reuse compiles across runs."""
+def _apply_platform_config() -> None:
+    """Honour LARA_PLATFORM=cpu|tpu via the config API (the TPU plugin in
+    some environments ignores the JAX_PLATFORMS env var).  Touches no
+    backend, so it is safe -- and required -- BEFORE
+    ``jax.distributed.initialize``."""
     import os
 
     import jax
@@ -56,6 +55,19 @@ def _apply_platform_env() -> None:
     platform = os.environ.get("LARA_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+
+
+def _apply_platform_env() -> None:
+    """Platform selection + persistent compilation cache: the solver is one
+    large XLA program + Mosaic kernels whose first compile costs minutes, so
+    CLI processes must reuse compiles across runs.  Initialises the backend
+    (the ``default_backend()`` probe) -- call only after any
+    ``jax.distributed.initialize``."""
+    import os
+
+    import jax
+
+    _apply_platform_config()
 
     cache_dir = os.environ.get(
         "LARA_JAX_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "lara_tpu_jax")
@@ -76,15 +88,12 @@ def run(params: Parameters) -> OutputLibrary:
 
     time_start = time.monotonic()
     timing.reset()
-    _apply_platform_env()
-    log(1, "1) Parse parameters...")
-    with timing.phase("read input"):
-        store = load_input(params)
-    outlib = OutputLibrary(store, params.out_format)
-    pairs = enumerate_pairs(store)
-
     # multi-host pods: initialise jax.distributed when a coordinator is
-    # configured, shard the pair list across hosts, gather results after
+    # configured -- BEFORE anything touches a jax backend
+    # (jax.distributed.initialize must precede backend initialisation, which
+    # _apply_platform_env's default_backend() probe would trigger; the
+    # platform *config* must come first so the right backend joins the mesh)
+    _apply_platform_config()
     multihost = False
     if params.backend == "device":
         try:
@@ -93,6 +102,13 @@ def run(params: Parameters) -> OutputLibrary:
             multihost = mesh_mod.distributed_init()
         except Exception as exc:
             log(1, f"   * jax.distributed unavailable ({exc}); single host")
+    _apply_platform_env()
+    log(1, "1) Parse parameters...")
+    with timing.phase("read input"):
+        store = load_input(params)
+    outlib = OutputLibrary(store, params.out_format)
+    pairs = enumerate_pairs(store)
+
     all_pairs = pairs
     if multihost:
         pairs = mesh_mod.process_pair_shard(pairs)

@@ -30,10 +30,11 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lara_tpu.types import PSSM_INIT
 
-NEG_INF = jnp.int32(-1431655764)
+NEG_INF = np.int32(-1431655764)  # np scalar: a jnp constant would init the backend at import
 I32 = jnp.int32
 
 # state codes

@@ -117,7 +117,14 @@ def gather_results(local_entries, mesh: "Mesh" = None):
 
 
 def pair_mesh(devices=None) -> Mesh:
-    devices = list(devices if devices is not None else jax.devices())
+    """1-D mesh over this process's addressable devices.
+
+    Local, not global, on purpose: each host solves an independent shard of
+    the pair list (there is no cross-pair communication in the solve), so a
+    global mesh would only force every host to lock-step compile and feed
+    globally-shaped arrays.  Cross-host merging happens once, at the end,
+    in :func:`gather_results`."""
+    devices = list(devices if devices is not None else jax.local_devices())
     return Mesh(np.asarray(devices), ("pairs",))
 
 

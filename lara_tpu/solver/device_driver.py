@@ -185,7 +185,7 @@ def _solve_models(store, chunk, models, params: Parameters,
         return
     import jax
 
-    n_dev = len(jax.devices())
+    n_dev = len(jax.local_devices())  # sharding is per-host (mesh.pair_mesh)
     bp = 1 << (max(b, n_dev if (n_dev > 1 and b > 1) else 1) - 1).bit_length()
 
     seq_score = np.zeros((bp, la_max, lb_max), np.int32)
@@ -226,6 +226,11 @@ def _solve_models(store, chunk, models, params: Parameters,
     # compacted run-start capacity for the MXU grid placement (quantised for
     # program reuse, bounded by the dual capacity)
     e_cap = min(dcap, max(256, 1 << (max_edges - 1).bit_length()))
+    # the one-hot placement operands are [B, LA, E] + [B, E, 2*LB] f32; for
+    # dense long-pair batches they outgrow HBM usefulness -- fall back to the
+    # scatter path beyond ~256 MB of operand traffic
+    if 4 * bp * e_cap * (la_max + 2 * lb_max) > 256 * 1024 * 1024:
+        e_cap = 0
 
     batch = device_solver.BatchModel(
         seq_score=jnp.asarray(seq_score.reshape(bp, ne)),
@@ -245,7 +250,7 @@ def _solve_models(store, chunk, models, params: Parameters,
     from lara_tpu.utils import timing
 
     with timing.phase("subgradient solve (device)"):
-        if len(jax.devices()) > 1 and b > 1:
+        if len(jax.local_devices()) > 1 and b > 1:
             from lara_tpu.parallel import mesh as mesh_mod
 
             result = mesh_mod.solve_batch_sharded(

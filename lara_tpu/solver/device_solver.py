@@ -48,6 +48,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lara_tpu.ops import gotoh
 from lara_tpu.solver.matching_device import greedy_matching_queue
@@ -55,7 +56,7 @@ from lara_tpu.types import INFINITY, PSSM_INIT
 
 I32 = jnp.int32
 F32 = jnp.float32
-NEG_INF = jnp.int32(-int(INFINITY))
+NEG_INF = np.int32(-int(INFINITY))  # np scalar: a jnp constant would init the backend at import
 
 
 def _use_pallas() -> bool:

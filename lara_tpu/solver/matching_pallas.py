@@ -261,10 +261,16 @@ def rounds_loop_pallas(lq, mq, wq, live, line_edges, lookahead: int,
     assert w == width
     lh = max(1, min(int(lookahead), 8))
     s = line_edges.shape[1]
-    bb = min(block_b, b)
-    bp = _round_up(b, bb)
     wp = _round_up(width, 128)
     sp = _round_up(s, 128)
+    # VMEM sizing: ~6 width-wide live tiles (lq/mq/wq/live + cumsum temps)
+    # and ~3 slot-wide tiles per lane; keep the block under ~6 MB so wide
+    # 16S-scale queues (W ~ 40k) compile instead of blowing the 16 MB limit
+    vmem_lanes = max(1, (6 * 1024 * 1024) // (4 * (6 * wp + 3 * sp)))
+    if vmem_lanes < block_b:
+        block_b = max(8, 1 << (vmem_lanes.bit_length() - 1))
+    bb = min(block_b, b)
+    bp = _round_up(b, bb)
 
     def padb(x, fill):
         return jnp.pad(x, ((0, bp - b), (0, wp - w)), constant_values=fill)

@@ -47,6 +47,10 @@ def brute_force_bpp(seq):
     weights = []
     for s in structures:
         logw = sum(PAIR_W[(seq[i], seq[j])] for (i, j) in s)
+        # helix stacking bonus: pair (i, j) whose enclosed neighbour
+        # (i+1, j-1) is also in the structure
+        logw += bpp_predict.STACK_KT * sum(
+            1 for (i, j) in s if (i + 1, j - 1) in s)
         weights.append(math.exp(logw))
     z = sum(weights)
     probs = {}
