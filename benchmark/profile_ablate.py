@@ -94,7 +94,7 @@ def run_variant(name, batch, params, go, ge, la_max, lb_max, bp, dcap,
                 [colhot * (vc >> 16).astype(jnp.float32)[:, :, None],
                  colhot * (vc & 0xFFFF).astype(jnp.float32)[:, :, None]],
                 axis=2)
-            out = jnp.matmul(rowhot, colval)
+            out = jnp.matmul(rowhot, colval, precision=jax.lax.Precision.HIGHEST)
             placed = (out[:, :, :lb_max].astype(I32) << 16) \
                 | out[:, :, lb_max:].astype(I32)
             placed = placed.reshape(b, ne)

@@ -81,7 +81,7 @@ def main():
     colval = jnp.concatenate(
         [colhot * (vc >> 16).astype(jnp.float32)[:, :, None],
          colhot * (vc & 0xFFFF).astype(jnp.float32)[:, :, None]], axis=2)
-    out = jnp.matmul(rowhot, colval)
+    out = jnp.matmul(rowhot, colval, precision=jax.lax.Precision.HIGHEST)
     placed = (out[:, :, :lb_max].astype(I32) << 16) | out[:, :, lb_max:].astype(I32)
     placed = placed.reshape(b, ne)
     pssm = jnp.where(model.active, model.seq_score + placed,
@@ -126,7 +126,7 @@ def main():
         colval = jnp.concatenate(
             [colhot * (vc >> 16).astype(jnp.float32)[:, :, None],
              colhot * (vc & 0xFFFF).astype(jnp.float32)[:, :, None]], axis=2)
-        out = jnp.matmul(rowhot, colval)
+        out = jnp.matmul(rowhot, colval, precision=jax.lax.Precision.HIGHEST)
         placed = (out[:, :, :lb_max].astype(I32) << 16) \
             | out[:, :, lb_max:].astype(I32)
         return chk(placed, c)
@@ -237,7 +237,7 @@ def main():
         colval = jnp.concatenate(
             [colhot * (vc >> 16).astype(jnp.float32)[:, :, None],
              colhot * (vc & 0xFFFF).astype(jnp.float32)[:, :, None]], axis=2)
-        out = jnp.matmul(rowhot, colval)
+        out = jnp.matmul(rowhot, colval, precision=jax.lax.Precision.HIGHEST)
         placed = (out[:, :, :lb_max].astype(I32) << 16) \
             | out[:, :, lb_max:].astype(I32)
         pssm2 = jnp.where(model.active,

@@ -370,7 +370,12 @@ def solve_batch_chunk(
                 [colhot * (vc >> 16).astype(jnp.float32)[:, :, None],
                  colhot * (vc & 0xFFFF).astype(jnp.float32)[:, :, None]],
                 axis=2)                                      # [B, E, 2*LB]
-            out = jnp.matmul(rowhot, colval)                 # [B, LA, 2*LB]
+            # HIGHEST: TPU's default matmul precision is bf16 (8-bit
+            # mantissa), which rounds the 16-bit halves; HIGHEST splits each
+            # f32 operand into 3 exact bf16 passes, keeping integer products
+            # <= 2^16 exact on the MXU (CPU f32 matmul is exact either way)
+            out = jnp.matmul(rowhot, colval,
+                             precision=jax.lax.Precision.HIGHEST)  # [B, LA, 2*LB]
             placed = (out[:, :, :lb_max].astype(I32) << 16) \
                 | out[:, :, lb_max:].astype(I32)
             placed = placed.reshape(b, ne)
