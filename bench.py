@@ -1,10 +1,10 @@
 """Benchmark: pairwise structural alignments per second on one chip.
 
-Workload: an all-pairs solve over a synthetic tRNA-scale RNA family
-(~72 nt, cloverleaf-like fixed structures with point mutations) -- the shape
-of BRAliBase data-set1 used by the reference's benchmark protocol
-(``/root/reference/benchmark/benchmark_tutorial.ipynb``), which publishes no
-numbers of its own (BASELINE.md).
+Primary workload (the one JSON line on stdout): an all-pairs solve over a
+synthetic tRNA-scale RNA family (~72 nt, cloverleaf-like structures with
+point mutations) -- the shape of BRAliBase data-set1 used by the reference's
+benchmark protocol (``/root/reference/benchmark/benchmark_tutorial.ipynb``),
+which publishes no numbers of its own (BASELINE.md).
 
 Metric: completed pairwise Lagrangian solves per second (device backend,
 compile excluded via warm-up).  ``vs_baseline``: speedup over the scalar
@@ -12,12 +12,21 @@ NumPy reference mirror on the same host (the only runnable baseline in this
 environment; the reference binary cannot be built -- empty vendored
 submodules).
 
-Prints exactly one JSON line.
+Full mode (``LARA_BENCH_FULL=1`` or ``--full``): additionally measures a
+~300 nt family and a 16S-scale (~1530 nt) pair -- BASELINE.md configs 3/4 --
+recording alignments/s, subgradient iterations/s, and warm per-phase wall
+times per scale into ``BENCH_SCALES.json``.  Device/mirror parity is asserted
+at every scale (truncated-iteration runs at the large scales, where the
+scalar mirror would take minutes); any mismatch is fatal.
+
+Prints exactly one JSON line on stdout.
 """
 
 from __future__ import annotations
 
 import json
+import math
+import os
 import sys
 import time
 
@@ -29,8 +38,6 @@ def make_family(n=12, length=72, seed=7):
     (the shape of the reference's RNAfold-dotplot inputs, ``io.hpp:202-284``):
     soft, partially conflicting partner candidates exercise the full
     subgradient loop, unlike a fixed consensus structure."""
-    import math
-
     from lara_tpu.io.records import MIN_PROB, RnaRecord
     from lara_tpu.solver import bpp_predict
 
@@ -58,43 +65,164 @@ def make_family(n=12, length=72, seed=7):
     return records
 
 
+def make_long_family(n=2, length=1530, seed=47, mutations=None):
+    """Point-mutated copies of a stem-scaffolded long molecule with sparse
+    dotplot-style bpp edges (nested stems marching down the sequence plus
+    competing weak partners) -- the 16S-rRNA input shape of BASELINE config 4
+    and the reference's dense-matrix stress case (``edge_filter.hpp:73-75``,
+    ``parameters.hpp:125-126``)."""
+    from lara_tpu.io.records import MIN_PROB, RnaRecord
+
+    rng = np.random.default_rng(seed)
+    stems = []
+    pos = 10
+    while pos + 120 < length:
+        span = int(rng.integers(60, 110))
+        n_bp = int(rng.integers(6, 12))
+        for k in range(n_bp):
+            stems.append((pos + k, pos + span - k))
+        pos += span + int(rng.integers(10, 30))
+    bases = "ACGU"
+    comp = {"A": "U", "C": "G", "G": "C", "U": "A"}
+    seq = [bases[rng.integers(0, 4)] for _ in range(length)]
+    for (i, j) in stems:
+        seq[j] = comp[seq[i]]
+    if mutations is None:
+        mutations = max(4, length // 25)
+    records = []
+    for k in range(n):
+        s = list(seq)
+        if k:  # first record keeps the scaffold
+            for _ in range(mutations):
+                s[int(rng.integers(0, length))] = bases[rng.integers(0, 4)]
+        edges = []
+        for (i, j) in stems:
+            p = float(rng.uniform(0.2, 0.95))
+            edges.append((i, j, math.log(p / MIN_PROB)))
+            if rng.random() < 0.3:  # competing weak partner
+                j2 = min(length - 1, j + int(rng.integers(1, 4)))
+                p2 = float(rng.uniform(0.05, 0.15))
+                edges.append((i, j2, math.log(p2 / MIN_PROB)))
+        edges.sort()
+        records.append(RnaRecord(name=f"long{k}", sequence="".join(s),
+                                 bpp_edges=edges))
+    return records
+
+
+def _assert_parity(store, pairs, device_results, params, label):
+    """Fatal device/mirror parity gate on a subset of pairs."""
+    from lara_tpu.solver import reference_driver
+
+    by_idx = {r.seq_indices: r for r in device_results}
+    for (ia, ib) in pairs:
+        res_r = reference_driver.solve_pair(store[ia], store[ib], params,
+                                            (ia, ib))
+        res_d = by_idx[res_r.seq_indices]
+        if res_d.columns != res_r.columns:
+            print(f"FATAL: device/reference mismatch on {res_r.seq_indices}"
+                  f" at scale {label}", file=sys.stderr)
+            sys.exit(1)
+
+
+def run_scale(store, params, label, parity_pairs=2, parity_params=None):
+    """Warm + timed device solve over all pairs; returns the metrics row."""
+    from lara_tpu.app import enumerate_pairs
+    from lara_tpu.solver import device_driver
+    from lara_tpu.utils import timing
+
+    pairs = enumerate_pairs(store)
+    warm = list(device_driver.solve_all(store, pairs, params))
+    assert len(warm) == len(pairs), "warm-up produced wrong result count"
+
+    timing.reset()
+    t0 = time.perf_counter()
+    results = list(device_driver.solve_all(store, pairs, params))
+    elapsed = time.perf_counter() - t0
+    assert len(results) == len(pairs)
+    phases = {k: round(v, 4) for k, v in timing.snapshot().items()}
+    total_iters = sum(r.iterations for r in results)
+
+    # parity gate: bit-equality with the scalar mirror on a subset (with a
+    # truncated iteration budget at the large scales, where the mirror is
+    # minutes-slow -- the device run is re-done under the same budget)
+    pp = parity_params or params
+    if pp is not params:
+        parity_dev = list(device_driver.solve_all(store, pairs[:parity_pairs], pp))
+    else:
+        parity_dev = results
+    _assert_parity(store, pairs[:parity_pairs], parity_dev, pp, label)
+
+    return {
+        "scale": label,
+        "n_seqs": len(store),
+        "seq_len": max(len(r.sequence) for r in store),
+        "n_pairs": len(pairs),
+        "seconds": round(elapsed, 4),
+        "alignments_per_s": round(len(pairs) / elapsed, 3),
+        "subgradient_iterations": int(total_iters),
+        "iterations_per_s": round(total_iters / elapsed, 1),
+        "mean_iterations_per_pair": round(total_iters / len(pairs), 1),
+        "phase_seconds": phases,
+    }, results, elapsed
+
+
 def main():
+    full = "--full" in sys.argv or os.environ.get("LARA_BENCH_FULL") == "1"
+
     from lara_tpu.app import _apply_platform_env, enumerate_pairs
     from lara_tpu.params import Parameters
-    from lara_tpu.solver import device_driver, reference_driver
+    from lara_tpu.solver import reference_driver
 
     _apply_platform_env()  # persistent compile cache
     params = Parameters(in_file="<bench>")
+
+    # --- primary: tRNA-scale all-pairs (the one-line metric) ---
     store = make_family(n=16)
+    row_trna, results, device_time = run_scale(store, params, "trna-72nt",
+                                               parity_pairs=4)
     pairs = enumerate_pairs(store)
 
-    # --- device backend (includes host model build; excludes compile) ---
-    warm = list(device_driver.solve_all(store, pairs, params))
-    assert len(warm) == len(pairs), "warm-up produced wrong result count"
-    t0 = time.perf_counter()
-    results = list(device_driver.solve_all(store, pairs, params))
-    device_time = time.perf_counter() - t0
-    assert len(results) == len(pairs)
-    device_rate = len(pairs) / device_time
-
-    # --- scalar baseline on a subset ---
+    # --- scalar mirror baseline on a subset ---
     n_base = min(4, len(pairs))
     t0 = time.perf_counter()
-    base_results = [
+    for (ia, ib) in pairs[:n_base]:
         reference_driver.solve_pair(store[ia], store[ib], params, (ia, ib))
-        for (ia, ib) in pairs[:n_base]
-    ]
     base_time = time.perf_counter() - t0
     base_rate = n_base / base_time
+    device_rate = len(pairs) / device_time
 
-    # correctness gate: the benchmark number is only valid if the device
-    # backend matches the scalar mirror bit-for-bit on the common subset
-    for res_d, res_r in zip(results[:n_base], base_results):
-        if (res_d.seq_indices == res_r.seq_indices
-                and res_d.columns != res_r.columns):
-            print("FATAL: device/reference mismatch on "
-                  f"{res_d.seq_indices}", file=sys.stderr)
-            sys.exit(1)
+    scales = [dict(row_trna, mirror_alignments_per_s=round(base_rate, 3))]
+
+    if full:
+        # --- ~300 nt family (BASELINE config 3 scale) ---
+        parity_params = Parameters(in_file="<bench>", num_iterations=10)
+        store300 = make_long_family(n=8, length=300, seed=31, mutations=12)
+        row300, _, _ = run_scale(store300, params, "rrna-300nt",
+                                 parity_pairs=1, parity_params=parity_params)
+        scales.append(row300)
+
+        # --- 16S-scale pair (BASELINE config 4) ---
+        store16s = make_long_family(n=2, length=1530, seed=47)
+        row16s, res16s, _ = run_scale(store16s, params, "16S-1530nt",
+                                      parity_pairs=1,
+                                      parity_params=parity_params)
+        row16s["iterations_pair0"] = int(res16s[0].iterations)
+        scales.append(row16s)
+
+        import jax
+
+        out = {
+            "hardware": str(jax.devices()[0]),
+            "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "mirror_note": "vs_baseline is speedup over the scalar NumPy "
+                           "mirror on this host; the reference binary cannot "
+                           "be built here (empty vendored submodules)",
+            "scales": scales,
+        }
+        with open("BENCH_SCALES.json", "w") as fh:
+            json.dump(out, fh, indent=2)
+        print(f"wrote BENCH_SCALES.json ({len(scales)} scales)",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "pairwise structural alignments/s (tRNA-scale all-pairs)",

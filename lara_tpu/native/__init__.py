@@ -27,21 +27,24 @@ class NativeBuildError(RuntimeError):
     pass
 
 
-def shared_library(name: str) -> str:
-    """Path to the compiled shared library for ``src/<name>.cpp``, building
-    it if the source is newer or no build exists yet."""
-    source = os.path.join(_SRC_DIR, f"{name}.cpp")
+def shared_library(name: str, extra_sources: tuple = ()) -> str:
+    """Path to the compiled shared library for ``src/<name>.cpp`` (plus any
+    ``extra_sources`` linked into the same object), building it if any source
+    is newer or no build exists yet."""
+    sources = [os.path.join(_SRC_DIR, f"{name}.cpp")] + [
+        os.path.join(_SRC_DIR, f"{extra}.cpp") for extra in extra_sources
+    ]
     target = os.path.join(_LIB_DIR, f"lib{name}.so")
     with _BUILD_LOCK:
-        if (
-            os.path.exists(target)
-            and os.path.getmtime(target) >= os.path.getmtime(source)
+        if os.path.exists(target) and all(
+            os.path.getmtime(target) >= os.path.getmtime(src)
+            for src in sources
         ):
             return target
         os.makedirs(_LIB_DIR, exist_ok=True)
         cmd = [
             "g++", "-std=c++17", "-O2", "-fPIC", "-shared",
-            "-o", target, source,
+            "-o", target, *sources,
         ]
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True, timeout=300)

@@ -15,7 +15,9 @@ _lib = None
 def _load():
     global _lib
     if _lib is None:
-        lib = ctypes.CDLL(shared_library("lagrange_host"))
+        # blossom.cpp is linked in for the -m 0 exact-matching branch
+        lib = ctypes.CDLL(shared_library("lagrange_host",
+                                         extra_sources=("blossom",)))
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         lib.lara_lagrange_create.restype = ctypes.c_void_p

@@ -113,6 +113,66 @@ struct Solver {
 
 typedef std::array<i64, 3> Interaction;  // (-2*score, lineL, lineR)
 
+}  // namespace
+
+// provided by blossom.cpp (linked into this shared object): exact
+// maximum-weight matching, the -m 0 LEMON equivalent (matching.hpp:201-238)
+extern "C" long long lara_max_weight_matching(
+    int n, int m, const int* us, const int* vs, const long long* ws,
+    int* mate_out);
+
+namespace {
+
+// exact matching (-m 0), mirroring matching_ref.exact_matching: edges are
+// (line, partner, 2*score) with non-positive weights dropped; every line
+// starts as its own contact (the matching.hpp:210 quirk)
+static i64 exact_matching(
+    const vector<vector<std::pair<i64, i32>>>& possible,
+    const vector<i32>& lines,
+    std::unordered_map<i32, i32>* contacts) {
+    contacts->clear();
+    for (i32 line : lines) (*contacts)[line] = line;
+    // collect positive-weight edges and compact vertex ids
+    vector<i32> us, vs;
+    vector<long long> ws;  // blossom's ABI type (i64 is long on LP64)
+    std::map<i32, int> compact;  // ordered: deterministic ids
+    vector<i32> vertex_ids;
+    for (size_t idx = 0; idx < lines.size(); ++idx) {
+        for (const auto& sp : possible[idx]) {
+            i64 w = 2 * sp.first;
+            i32 u = lines[idx], v = sp.second;
+            if (w <= 0 || u == v) continue;
+            us.push_back(u);
+            vs.push_back(v);
+            ws.push_back(w);
+            compact.emplace(u, 0);
+            compact.emplace(v, 0);
+        }
+    }
+    if (ws.empty()) return 0;
+    int n = 0;
+    for (auto& kv : compact) {
+        vertex_ids.push_back(kv.first);
+        kv.second = n++;
+    }
+    vector<int> cu(us.size()), cv(vs.size());
+    for (size_t k = 0; k < us.size(); ++k) {
+        cu[k] = compact[us[k]];
+        cv[k] = compact[vs[k]];
+    }
+    vector<int> mate(n);
+    long long total = lara_max_weight_matching(
+        n, (int)ws.size(), cu.data(), cv.data(), ws.data(), mate.data());
+    for (int v = 0; v < n; ++v) {
+        if (mate[v] > v) {
+            i32 a = vertex_ids[v], b = vertex_ids[mate[v]];
+            (*contacts)[a] = b;
+            (*contacts)[b] = a;
+        }
+    }
+    return (i64)total;
+}
+
 static bool has_conflict(const Interaction& a, const Interaction& b) {
     return a[1] == b[1] || a[1] == b[2] || a[2] == b[1] || a[2] == b[2];
 }
@@ -350,7 +410,11 @@ int lara_lagrange_step_sparse(void* handle, const i32* lines_ab, int n_lines,
             for (const auto& t : plist)
                 possible[idx].emplace_back(t[2], (i32)t[1]);
         }
-        lower += greedy_matching(possible, line_edges, s->lookahead, &contacts);
+        if (s->lookahead == 0)  // -m 0: exact MWM (matching.hpp:201-238)
+            lower += exact_matching(possible, line_edges, &contacts);
+        else
+            lower += greedy_matching(possible, line_edges, s->lookahead,
+                                     &contacts);
     } else {
         // consistent branch (lagrange.hpp:397-409)
         for (i32 edge : line_edges) {

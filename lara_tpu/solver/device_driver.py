@@ -41,15 +41,17 @@ def _round_up(value: int, quantum: int) -> int:
     return ((value + quantum - 1) // quantum) * quantum
 
 
-def _hybrid_available() -> bool:
+def _hybrid_available(forced: bool = False) -> bool:
     """Hybrid = device DP + native C++ bookkeeping + lane refill
-    (LARA_SOLVER=hybrid).  The fused all-device while_loop is the default:
-    after the edge-major/segmented-scan redesign its per-iteration device
-    cost is far below one host<->device round trip, so the hybrid split only
-    pays off when per-iteration transfers are free (local CPU experiments)."""
+    (LARA_SOLVER=hybrid, or automatically for matching modes the fused path
+    does not cover).  The fused all-device while_loop is the default: after
+    the edge-major/segmented-scan redesign its per-iteration device cost is
+    far below one host<->device round trip, so the hybrid split only pays
+    off when per-iteration transfers are free (local CPU experiments) or
+    when the matching itself must run on the host (exact MWM, ``-m 0``)."""
     import os
 
-    if os.environ.get("LARA_SOLVER", "") != "hybrid":
+    if not forced and os.environ.get("LARA_SOLVER", "") != "hybrid":
         return False
     try:
         from lara_tpu.native import lagrange
@@ -77,7 +79,17 @@ def _pad_dim(length: int) -> int:
 def solve_all(store, pairs: Sequence[Tuple[int, int]], params: Parameters
               ) -> Iterator[PairResult]:
     if params.matching == 0 or params.matching > 8:
-        # exact MWM / very deep lookahead: scalar path (documented fallback)
+        # exact MWM / very deep lookahead: the matching must run on the host.
+        # Preferred backend: hybrid (batched device DP + native bookkeeping
+        # with the blossom exact matcher, the reference's per-iteration LEMON
+        # integration, ``matching.hpp:201-238``); scalar mirror otherwise.
+        if _hybrid_available(forced=True):
+            from lara_tpu.solver import hybrid_driver
+
+            log(1, "   * host matching mode: hybrid backend (device DP + "
+                   "native exact/deep matching)")
+            yield from hybrid_driver.solve_all(store, pairs, params)
+            return
         from lara_tpu.solver import reference_driver
 
         log(1, "   * matching mode requires the scalar backend; using it")

@@ -105,10 +105,21 @@ def _device_fns(la_max: int, lb_max: int, lanes: int):
     import jax
     import jax.numpy as jnp
 
-    from lara_tpu.solver.device_solver import _align
+    from lara_tpu.ops import gotoh
+    from lara_tpu.solver.device_solver import _use_pallas
 
     ne = la_max * lb_max
     lcap = min(la_max, lb_max)
+
+    def _align_with_lines(pssm, las, lbs, go, ge):
+        """Unlike the fused solver, the host bookkeeping consumes the ordered
+        line list, so the Pallas path must emit it (``emit_lines=True``)."""
+        if _use_pallas():
+            from lara_tpu.ops.gotoh_pallas import align_pssm_batch_pallas
+
+            return align_pssm_batch_pallas(pssm, las, lbs, go, ge,
+                                           la_max, lb_max, emit_lines=True)
+        return gotoh.align_pssm_batch(pssm, las, lbs, go, ge, la_max, lb_max)
 
     @functools.partial(jax.jit, donate_argnames=("pssm_dev",))
     def device_iter(pssm_dev, uidx, uval, un, las, lbs, go, ge):
@@ -119,7 +130,7 @@ def _device_fns(la_max: int, lb_max: int, lanes: int):
         pssm_dev = pssm_dev.at[flat.reshape(-1)].set(
             jnp.where(valid, uval, 0).reshape(-1))
         pssm = pssm_dev[: lanes * ne].reshape(lanes, la_max, lb_max)
-        tb = _align(pssm, las, lbs, go, ge, la_max, lb_max)
+        tb = _align_with_lines(pssm, las, lbs, go, ge)
         packed = jnp.concatenate(
             [tb.upper[:, None], tb.gap_score[:, None], tb.n_lines[:, None],
              tb.lines.reshape(lanes, 2 * lcap)], axis=1)

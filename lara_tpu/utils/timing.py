@@ -48,6 +48,12 @@ def add(name: str, seconds: float) -> None:
     _COUNTS[name] = _COUNTS.get(name, 0) + 1
 
 
+def snapshot() -> "OrderedDict[str, float]":
+    """Copy of the accumulated phase buckets (seconds), for benchmark
+    reporting (``bench.py`` records warm per-phase times per scale)."""
+    return OrderedDict(_BUCKETS)
+
+
 def report() -> None:
     """Log the accumulated phase table at verbosity 1 (the reference's
     'Alignment time / Matching time / Update time' block)."""

@@ -40,6 +40,8 @@ def make_family(n=4, length=40, seed=3, conflicting=True):
     dict(library_score_min=0, library_score_max=100,
          library_score_is_linear=True),
     dict(matching=2),
+    dict(matching=0),   # exact MWM (blossom) inside the iteration loop
+    dict(matching=12),  # deep lookahead beyond the fused path's cap
     dict(num_iterations=7),
 ])
 def test_hybrid_matches_reference_driver(kwargs):
