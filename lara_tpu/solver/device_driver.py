@@ -172,6 +172,7 @@ def _solve_models(store, chunk, models, params: Parameters,
     import jax.numpy as jnp
 
     from lara_tpu.solver import device_solver
+    from lara_tpu.utils import timing
 
     b = len(chunk)
     go, ge = int(params.gap_open_int), int(params.gap_extend_int)
@@ -200,6 +201,8 @@ def _solve_models(store, chunk, models, params: Parameters,
     n_dev = len(jax.local_devices())  # sharding is per-host (mesh.pair_mesh)
     bp = 1 << (max(b, n_dev if (n_dev > 1 and b > 1) else 1) - 1).bit_length()
 
+    pack_timer = timing.phase("model packing (host)")
+    pack_timer.__enter__()
     seq_score = np.zeros((bp, la_max, lb_max), np.int32)
     active = np.zeros((bp, la_max, lb_max), bool)
     dual_l = np.zeros((bp, dcap), np.int32)
@@ -256,10 +259,8 @@ def _solve_models(store, chunk, models, params: Parameters,
         la=jnp.asarray(las),
         lb=jnp.asarray(lbs),
     )
-
-    import jax
-
-    from lara_tpu.utils import timing
+    jax.block_until_ready(batch.seq_score)  # uploads accounted to packing
+    pack_timer.__exit__(None, None, None)
 
     with timing.phase("subgradient solve (device)"):
         if len(jax.local_devices()) > 1 and b > 1:
@@ -279,15 +280,16 @@ def _solve_models(store, chunk, models, params: Parameters,
                 scan_steps=scan_steps, e_cap=e_cap,
             )
 
-    best_partner = np.asarray(result.best_partner)
-    best_nlines = np.asarray(result.best_nlines)
-    best_matched = np.asarray(result.best_matched)
-    best_lower = np.asarray(result.best_lower)
-    best_upper = np.asarray(result.best_upper)
-    iterations = np.asarray(result.iterations)
-    # the [B, D] dual snapshot is only consumed by linear libscore mode
-    dual_q = np.asarray(result.dual_at_queue) \
-        if params.library_score_is_linear else None
+    with timing.phase("result download (host)"):
+        best_partner = np.asarray(result.best_partner)
+        best_nlines = np.asarray(result.best_nlines)
+        best_matched = np.asarray(result.best_matched)
+        best_lower = np.asarray(result.best_lower)
+        best_upper = np.asarray(result.best_upper)
+        iterations = np.asarray(result.iterations)
+        # the [B, D] dual snapshot is only consumed by linear libscore mode
+        dual_q = np.asarray(result.dual_at_queue) \
+            if params.library_score_is_linear else None
 
     for k, (ia, ib) in enumerate(chunk):
         pk = best_partner[k, : int(las[k])]

@@ -19,6 +19,13 @@ on partner-heavy inputs (base-pair-probability dot plots) its per-iteration
 gather/scatter cost scales with the padded dual dimension, while this path
 stays proportional to the touched state.
 
+Measured role (benchmark/RESULTS.md, real TPU): the fused device loop wins
+by 20-37x at -m 1..8 (the per-iteration host<->device round trip dominates
+on a tunnel-attached chip), so this backend serves the modes whose matching
+must run on the host -- exact MWM (``-m 0``, per-iteration blossom in
+``native/src/lagrange_host.cpp``) and lookahead > 8 -- plus
+``LARA_SOLVER=hybrid`` for experiments.
+
 Per-iteration host<->device traffic: the PSSM batch up ([B, LA, LB] int32,
 written in place by C++ into one pinned buffer), the line lists down
 ([B, LCAP, 2] + three [B] vectors).
