@@ -19,8 +19,9 @@ row gathers (~10ns/element) and scatters -- and leans on what it rewards
   entry index; ``lagrange.hpp:121,305-309``) = one segmented doubling scan
   capped at the true maximum run length (static ``scan_steps``),
 * the dense PSSM grid = run-start values compacted by a static-key sort and
-  placed by an exact one-hot MXU matmul (hi/lo 16-bit split; every cell has
-  at most one contributor, so f32 accumulation is exact),
+  placed by an exact one-hot MXU matmul (five 7-bit limbs as native int8
+  operands with int32 accumulation; every cell has at most one contributor,
+  so each output cell is a single exact product),
 * line membership of an entry = fused compare-reduce against the <= LA line
   edge ids; all per-line state lives on dense position slots ([B, LA]):
   slot a is the line (a, partner[a]),
@@ -322,9 +323,9 @@ def solve_batch_chunk(
         cell_b = cells - cell_a * lb_max
         cell_ok = cells < ne
         rowhot = ((cell_a[:, None, :] == jnp.arange(la_max, dtype=I32)[None, :, None])
-                  & cell_ok[:, None, :]).astype(jnp.float32)  # [B, LA, E]
+                  & cell_ok[:, None, :]).astype(jnp.int8)     # [B, LA, E]
         colhot = ((cell_b[:, :, None] == jnp.arange(lb_max, dtype=I32)[None, None, :])
-                  & cell_ok[:, :, None]).astype(jnp.float32)  # [B, E, LB]
+                  & cell_ok[:, :, None]).astype(jnp.int8)     # [B, E, LB]
     slot_base = (jnp.arange(la_max, dtype=I32) * lb_max)[None, :]  # [1, S]
     # matching queue, statically ordered once per dispatch (the queue key
     # never involves duals, matching.hpp:149-151): one sort by qrank gives
@@ -362,22 +363,25 @@ def solve_batch_chunk(
         bonus = jnp.maximum(run_p, 0)
         if e_cap > 0:
             # one static sort compacts start values; one MXU matmul places
-            # them (hi/lo 16-bit split keeps f32 accumulation exact)
+            # them.  Values split into five 7-bit limbs as int8 operands:
+            # the TPU MXU multiplies int8 natively with exact int32
+            # accumulation (measured ~1.4x the f32-HIGHEST hi/lo split, which
+            # needs 6 bf16 passes), and every grid cell has at most one
+            # contributor, so the sum per cell is a single exact product
             _, vc = jax.lax.sort(
                 (compact_key, bonus), dimension=1, num_keys=1)
             vc = vc[:, :e_cap]
             colval = jnp.concatenate(
-                [colhot * (vc >> 16).astype(jnp.float32)[:, :, None],
-                 colhot * (vc & 0xFFFF).astype(jnp.float32)[:, :, None]],
-                axis=2)                                      # [B, E, 2*LB]
-            # HIGHEST: TPU's default matmul precision is bf16 (8-bit
-            # mantissa), which rounds the 16-bit halves; HIGHEST splits each
-            # f32 operand into 3 exact bf16 passes, keeping integer products
-            # <= 2^16 exact on the MXU (CPU f32 matmul is exact either way)
+                [colhot * ((vc >> s) & 0x7F).astype(jnp.int8)[:, :, None]
+                 for s in (28, 21, 14, 7, 0)],
+                axis=2)                                      # [B, E, 5*LB]
             out = jnp.matmul(rowhot, colval,
-                             precision=jax.lax.Precision.HIGHEST)  # [B, LA, 2*LB]
-            placed = (out[:, :, :lb_max].astype(I32) << 16) \
-                | out[:, :, lb_max:].astype(I32)
+                             preferred_element_type=I32)     # [B, LA, 5*LB]
+            placed = (out[:, :, :lb_max] << 28) \
+                | (out[:, :, lb_max:2 * lb_max] << 21) \
+                | (out[:, :, 2 * lb_max:3 * lb_max] << 14) \
+                | (out[:, :, 3 * lb_max:4 * lb_max] << 7) \
+                | out[:, :, 4 * lb_max:]
             placed = placed.reshape(b, ne)
         else:
             placed = jnp.maximum(
