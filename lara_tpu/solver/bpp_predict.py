@@ -6,19 +6,20 @@ compiled in (``io.hpp:332-336``).  lara-tpu ships its own TPU-native
 predictor instead, enabled with ``--predict builtin``: a McCaskill-style
 partition function over canonical base pairs.
 
-TPU-first design
-----------------
-* The inside recursion is a single ``lax.scan`` over span length ``d``; each
-  step updates one anti-diagonal of the DP matrices with pure vector ops
-  (one masked log-sum-exp of an [L, L] tile), so the O(L^3) work maps onto
-  the VPU with no data-dependent control flow.
-* Base-pair probabilities are NOT computed by hand-coding McCaskill's
-  outside recursion.  Because ``logZ`` is a differentiable function of the
-  per-pair log-Boltzmann weights, the expected pair indicator is exactly
-  ``p(i,j) = d logZ / d logw[i,j]`` -- one ``jax.grad`` through the scan
-  replaces the entire outside pass and is transparently fused by XLA.
-* All arithmetic is log-space float32: magnitudes stay ~O(L * max|logw|),
-  so no rescaling tricks are needed.
+Design
+------
+* Production path: a vectorized NumPy inside+outside recursion in log space
+  (:func:`_bpp_matrix_numpy`), one anti-diagonal / column of masked
+  log-sum-exp reductions per step.  Structure prediction is *host-side
+  input preprocessing* (exactly ViennaRNA's role in the reference --
+  a CPU C library call per record, ``io.hpp:299-330``); it feeds the host
+  model build, never the device hot loop, and a compile-free O(L^3) NumPy
+  sweep (~ms per record) beats paying an XLA compile for it.
+* Oracle path (kept for tests): ``logZ`` as a ``lax.scan`` with
+  ``p(i,j) = d logZ / d logw[i,j]`` via ``jax.grad`` -- the outside
+  recursion derived by autodiff instead of by hand.  The NumPy path is
+  asserted against it (``tests/test_bpp_predict.py``).
+* All arithmetic is log-space, so no rescaling tricks are needed.
 
 Energy model: pair weights (GC=3kT, AU=2kT, GU=1kT, minimum hairpin loop of
 3 unpaired bases -- ViennaRNA's TURN) plus a **helix stacking bonus**: a pair
@@ -132,6 +133,92 @@ def _logz_grad_fn(length: int):
     return jax.jit(jax.value_and_grad(logz))
 
 
+def _lse2(a, b):
+    """Elementwise log(exp(a) + exp(b)) with NEG-safe maxima."""
+    m = np.maximum(np.maximum(a, b), NEG)
+    return m + np.log(np.exp(a - m) + np.exp(b - m))
+
+
+def _lse_reduce(t, axis):
+    m = np.maximum(t.max(axis=axis), NEG)
+    with np.errstate(divide="ignore"):  # all-NEG rows reduce to -inf, fine
+        return m + np.log(np.exp(t - np.expand_dims(m, axis)).sum(axis=axis))
+
+
+def _bpp_matrix_numpy(logw: np.ndarray) -> np.ndarray:
+    """Inside + outside McCaskill in log space (float64, vectorized).
+
+    Same energy model as :func:`_logz_grad_fn`:
+    ``Qb(i,j) = w(i,j) * [Q(i+1,j-1) + (e^STACK - 1) * Qb(i+1,j-1)]``,
+    ``Q(i,j) = Q(i,j-1) + sum_k Q(i,k-1) * Qb(k,j)``.  The outside pass is
+    the hand-derived adjoint of the inside recursion; the pair probability
+    is ``p(i,j) = exp(adjQb(i,j) + logQb(i,j) - logZ)``.
+    """
+    n = logw.shape[0]
+    logw = logw.astype(np.float64)
+    logc = float(np.log(np.expm1(STACK_KT)))
+    log_q = np.zeros((n, n))        # Q(i,j); cells with j <= i stay log(1)=0
+    log_qb = np.full((n, n), NEG)
+
+    idx = np.arange(n)
+    for d in range(1, n):
+        i = idx[: n - d]
+        j = i + d
+        if d >= 2:
+            content = log_q[i + 1, j - 1]
+            stacked = logc + log_qb[i + 1, j - 1]
+        else:
+            content = np.zeros(n - d)
+            stacked = np.full(n - d, NEG)
+        log_qb[i, j] = logw[i, j] + _lse2(content, stacked)
+        # T[i, k] = Q(i, k-1) + Qb(k, j(i)), k in [i, j]
+        q_km1 = np.concatenate(
+            [np.zeros((n - d, 1)), log_q[: n - d, : n - 1]], axis=1)
+        t = q_km1 + log_qb[:, j].T          # [n-d rows, n cols]
+        k = idx[None, :]
+        mask = (k >= i[:, None]) & (k <= j[:, None])
+        t = np.where(mask, t, NEG)
+        paired = _lse_reduce(t, axis=1)
+        log_q[i, j] = _lse2(log_q[i, j - 1], paired)
+
+    log_z = log_q[0, n - 1]
+
+    # outside: reverse column sweep; adjQ(0, n-1) = log(1)
+    adj_q = np.full((n, n), NEG)
+    adj_qb = np.full((n, n), NEG)
+    adj_q[0, n - 1] = 0.0
+    # Q(i, k-1) with the empty case k == i -> log(1)
+    q_km1_full = np.concatenate([np.zeros((n, 1)), log_q[:, : n - 1]], axis=1)
+    # column n-1 first (pairs ending at the last base): only (d) applies
+    t = adj_q[:, n - 1][:, None] + q_km1_full
+    t = np.where(idx[:, None] <= idx[None, :], t, NEG)
+    adj_qb[:, n - 1] = _lse_reduce(t, axis=0)
+    for j in range(n - 2, -1, -1):
+        # (a) from Q(i, j+1)'s unpaired-j+1 term
+        acc = adj_q[:, j + 1].copy()
+        # (b) from Q(i, j') sums with k-1 == j: adjQ(i,j) += sum_{j'>j}
+        #     adjQ(i,j') * Qb(j+1, j')
+        t = adj_q[:, j + 1:] + log_qb[j + 1, j + 1:][None, :]
+        acc = _lse2(acc, _lse_reduce(t, axis=1))
+        # (c) content term of Qb(i-1, j+1)
+        c = np.full(n, NEG)
+        c[1:] = adj_qb[: n - 1, j + 1] + logw[: n - 1, j + 1]
+        adj_q[:, j] = _lse2(acc, c)
+        if j >= 1:
+            # (d) adjQb(k, j) += sum_{i <= k} adjQ(i, j) * Q(i, k-1)
+            t = adj_q[:, j][:, None] + q_km1_full  # [i, k]
+            t = np.where(idx[:, None] <= idx[None, :], t, NEG)
+            accb = _lse_reduce(t, axis=0)
+            # (e) stacking chain from Qb(k-1, j+1)
+            e = np.full(n, NEG)
+            e[1:] = adj_qb[: n - 1, j + 1] + logw[: n - 1, j + 1] + logc
+            adj_qb[:, j] = _lse2(accb, e)
+
+    probs = np.exp(np.clip(adj_qb + log_qb - log_z, -745.0, 0.0))
+    probs[log_qb <= NEG / 2] = 0.0
+    return probs
+
+
 def basepair_probability_matrix(sequence: str) -> np.ndarray:
     """[L, L] symmetric base-pair probability matrix for one sequence."""
     from lara_tpu.scoring.ribosum import encode_rna5
@@ -140,12 +227,9 @@ def basepair_probability_matrix(sequence: str) -> np.ndarray:
     length = int(encoded.shape[0])
     if length < MIN_HAIRPIN + 2:
         return np.zeros((length, length), np.float32)
-    # bucket compile cache on padded length (padding is Z-neutral)
-    padded = -(-length // 32) * 32
-    logw = pair_log_weights(encoded, pad_to=padded)
-    _, grad = _logz_grad_fn(padded)(logw)
-    probs = np.asarray(grad, dtype=np.float32)[:length, :length]
-    probs = np.clip(probs + probs.T, 0.0, 1.0)  # grad is upper-triangular
+    logw = pair_log_weights(encoded)
+    probs = _bpp_matrix_numpy(logw)[:length, :length].astype(np.float32)
+    probs = np.clip(probs + probs.T, 0.0, 1.0)  # upper-triangular input
     return probs
 
 

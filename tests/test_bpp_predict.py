@@ -88,6 +88,23 @@ def test_logz_matches_brute_force():
     assert float(logz) == pytest.approx(math.log(z), abs=1e-3)
 
 
+def test_numpy_matches_autodiff_oracle():
+    """The production NumPy inside-outside equals the jax.grad-through-scan
+    oracle (the derivative identity p = dlogZ/dlogw)."""
+    from lara_tpu.scoring.ribosum import encode_rna5
+
+    rng = np.random.default_rng(7)
+    for length in (12, 27):
+        seq = "".join("ACGU"[k] for k in rng.integers(0, 4, length))
+        enc = encode_rna5(seq)
+        logw = bpp_predict.pair_log_weights(enc, pad_to=32)
+        _, grad = bpp_predict._logz_grad_fn(32)(logw)
+        g = np.asarray(grad)[:length, :length]
+        p = bpp_predict._bpp_matrix_numpy(
+            bpp_predict.pair_log_weights(enc))[:length, :length]
+        assert np.abs(p - g).max() < 2e-4
+
+
 def test_short_sequence_no_pairs():
     probs = bpp_predict.basepair_probability_matrix("ACG")
     assert probs.shape == (3, 3)
