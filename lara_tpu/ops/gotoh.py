@@ -165,6 +165,9 @@ class Traceback(NamedTuple):
     n_lines: jax.Array    # [B]
     gap_score: jax.Array  # [B]
     partner: jax.Array    # [B, LA_MAX] dense line map: partner[a] = b or -1
+    # per-line seq-score sum, only when the Pallas traceback was handed the
+    # seq-score grid (the XLA path leaves it None and the solver reduces)
+    seq_part: jax.Array | None = None
 
 
 @functools.partial(jax.jit, static_argnames=("la_max", "lb_max"))

@@ -140,7 +140,7 @@ def _make_kernel(dchunk: int):
 
 
 def _make_traceback_kernel(dchunk: int, num_blocks: int):
-    def _kernel(params_ref, dirs_ref, finals_ref, la_ref, lb_ref,
+    def _kernel(params_ref, dirs_ref, sseq_ref, finals_ref, la_ref, lb_ref,
                 partner_ref, scalars_ref, st_ref, pa_ref):
         """Reverse diagonal sweep: each grid step walks ``dchunk`` diagonals
         of the traceback for one batch block.  The per-lane walker state is
@@ -148,9 +148,12 @@ def _make_traceback_kernel(dchunk: int, num_blocks: int):
         comparing a column iota against the walker's ``i`` -- no dynamic
         indexing anywhere.  Matched lines are emitted as a dense partner map
         ``partner[a] = b`` (a = seq-A position), compacted to an ordered line
-        list outside the kernel.
+        list outside the kernel.  The per-line sequence-score sum (the lower
+        bound's seq part, ``lagrange.hpp:376-378``) is accumulated in-kernel
+        from the skewed seq-score stream (``sseq_ref``) -- a dense [B, LA,
+        LB] reduce outside would re-read the whole grid per iteration.
 
-        st_ref: [8, BB, 1] scratch -- cur_d, i, state, gap, cnt, upper.
+        st_ref: [8, BB, 1] scratch -- cur_d, i, state, gap, cnt, upper, seq.
         pa_ref: [BB, W] scratch -- partner accumulator.
         """
         t = pl.program_id(1)
@@ -174,6 +177,7 @@ def _make_traceback_kernel(dchunk: int, num_blocks: int):
             st_ref[3] = jnp.zeros((bb, 1), I32)  # gap score
             st_ref[4] = jnp.zeros((bb, 1), I32)  # line count
             st_ref[5] = upper
+            st_ref[6] = jnp.zeros((bb, 1), I32)  # seq-score sum over lines
             pa_ref[...] = jnp.full((bb, w), -1, I32)
 
         cur_d = st_ref[0]
@@ -181,6 +185,7 @@ def _make_traceback_kernel(dchunk: int, num_blocks: int):
         state = st_ref[2]
         gap = st_ref[3]
         cnt = st_ref[4]
+        seq = st_ref[6]
         partner = pa_ref[...]
 
         dblk = num_blocks - 1 - t
@@ -202,6 +207,9 @@ def _make_traceback_kernel(dchunk: int, num_blocks: int):
             rec = (col == cur_i - 1) & is_m
             partner = jnp.where(rec, cur_j - 1, partner)
             cnt = cnt + is_m.astype(I32)
+            sval = jnp.sum(jnp.where(onehot, sseq_ref[s], 0), axis=1,
+                           keepdims=True)
+            seq = seq + jnp.where(is_m, sval, 0)
 
             gap_h = jnp.where(pred == HOR, ge, go)
             gap_v = jnp.where(pred == VER, ge, go)
@@ -219,6 +227,7 @@ def _make_traceback_kernel(dchunk: int, num_blocks: int):
         st_ref[2] = state
         st_ref[3] = gap
         st_ref[4] = cnt
+        st_ref[6] = seq
         pa_ref[...] = partner
 
         @pl.when(t == num_blocks - 1)
@@ -227,6 +236,7 @@ def _make_traceback_kernel(dchunk: int, num_blocks: int):
             scalars_ref[0] = st_ref[5]  # upper
             scalars_ref[1] = gap
             scalars_ref[2] = cnt
+            scalars_ref[3] = seq
 
     return _kernel
 
@@ -294,13 +304,17 @@ def gotoh_scan_pallas(skewed, la, lb, go, ge, block_b: int = 64,
 )
 def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
                             block_b: int = 64, dchunk: int = 8,
-                            interpret: bool = False, emit_lines: bool = True):
+                            interpret: bool = False, emit_lines: bool = True,
+                            seq_scores=None):
     """Pallas-backed drop-in for :func:`lara_tpu.ops.gotoh.align_pssm_batch`:
     forward wavefront kernel -> reverse-sweep traceback kernel -> line-list
     compaction (XLA sort).  Padded lanes have la = lb = 0 and trace nothing.
 
     ``emit_lines=False`` skips the ordered line-list compaction (the solver
     consumes the dense partner map directly); ``lines`` is then empty.
+    ``seq_scores`` ([B, LA, LB] int32, loop-invariant) makes the traceback
+    accumulate the per-line sequence-score sum in-kernel (``seq_part``);
+    without it the traceback streams zeros and ``seq_part`` is 0.
     """
     from lara_tpu.ops import gotoh
 
@@ -356,11 +370,23 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
         interpret=interpret,
     )(params, skewed, la_p, lb_p)
 
+    if seq_scores is not None:
+        sseq = gotoh.skew_scores(seq_scores, 0)
+        sseq = jnp.pad(
+            sseq,
+            ((0, dp - num_diag), (0, bp - b), (0, wp - (la_max + 1))),
+        )
+    else:
+        sseq = jnp.zeros((dp, bp, wp), I32)
+
     partner, scalars = pl.pallas_call(
         _make_traceback_kernel(dchunk, num_blocks),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 2), lambda g, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((dchunk, bb, wp),
+                         lambda g, t: (num_blocks - 1 - t, g, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((dchunk, bb, wp),
                          lambda g, t: (num_blocks - 1 - t, g, 0),
                          memory_space=pltpu.VMEM),
@@ -371,29 +397,30 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
         ],
         out_specs=[
             pl.BlockSpec((bb, wp), lambda g, t: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, bb, 1), lambda g, t: (0, g, 0),
+            pl.BlockSpec((4, bb, 1), lambda g, t: (0, g, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bp, wp), jnp.int32),
-            jax.ShapeDtypeStruct((3, bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((4, bp, 1), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, bb, 1), jnp.int32),
             pltpu.VMEM((bb, wp), jnp.int32),
         ],
         interpret=interpret,
-    )(params, dirs, finals, la_p, lb_p)
+    )(params, dirs, sseq, finals, la_p, lb_p)
 
     partner = partner[:b, :la_max]  # partner[a] = b or -1, a ascending
     upper = scalars[0, :b, 0]
     gap_score = scalars[1, :b, 0]
     n_lines = scalars[2, :b, 0]
+    seq_part = scalars[3, :b, 0] if seq_scores is not None else None
     if not emit_lines:
         lines = jnp.zeros((b, 0, 2), I32)
         return gotoh.Traceback(
             upper=upper, lines=lines, n_lines=n_lines, gap_score=gap_score,
-            partner=partner,
+            partner=partner, seq_part=seq_part,
         )
     # compact the dense partner map to an ordered line list
     valid = partner >= 0
@@ -409,5 +436,5 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
     )
     return gotoh.Traceback(
         upper=upper, lines=lines, n_lines=n_lines, gap_score=gap_score,
-        partner=partner,
+        partner=partner, seq_part=seq_part,
     )

@@ -19,6 +19,9 @@ lookahead > 8).
 
 from __future__ import annotations
 
+import functools
+import os
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Sequence, Tuple
 
@@ -120,6 +123,41 @@ def solve_all(store, pairs: Sequence[Tuple[int, int]], params: Parameters
             yield from _solve_chunk(store, chunk, params, la_max, lb_max)
 
 
+def _build_workers(params: Parameters) -> int:
+    """Host worker threads for the model build: ``-j`` (0 = autodetect),
+    mirroring the reference's thread-count resolution
+    (``parameters.hpp:124-129``)."""
+    threads = int(params.threads)
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    return max(1, threads)
+
+
+def _pack_filter(active, opt):
+    """Bit-pack the edge-filter result into one int32 array so the tunnel
+    pays a single device->host transfer: [B, NE/32 words + 1 opt column]."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pack(active, opt):
+        b = active.shape[0]
+        bits = active.reshape(b, -1, 32).astype(jnp.uint32)
+        words = jnp.sum(bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :],
+                        axis=2).astype(jnp.int32)
+        return jnp.concatenate([words, opt[:, None].astype(jnp.int32)], axis=1)
+
+    return pack(active, opt)
+
+
+def _unpack_filter(packed_np: np.ndarray, la_max: int, lb_max: int):
+    b = packed_np.shape[0]
+    words = packed_np[:, :-1].astype(np.uint32)
+    bits = (words[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1
+    active = bits.astype(bool).reshape(b, la_max, lb_max)
+    return active, packed_np[:, -1]
+
+
 def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
                  ) -> Iterator[PairResult]:
     import jax.numpy as jnp
@@ -150,21 +188,83 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
             seq_a, seq_b, las, lbs, np.asarray(params.score_matrix), go, ge,
             subopt, la_max, lb_max,
         )
-        active_np = np.asarray(active_dev)
-        opt_np = np.asarray(opt_dev)
+        # one packed transfer: per-array downloads each pay a tunnel RTT
+        packed_np = np.asarray(_pack_filter(active_dev, opt_dev))
+        active_np, opt_np = _unpack_filter(packed_np, la_max, lb_max)
 
-    # host: packed interaction models
+    # host: packed interaction models, built on -j worker threads
     with timing.phase("interaction build (host)"):
-        models = [
-            interactions.build_pair_model(
+        def build(k_pair):
+            k, (ia, ib) = k_pair
+            return interactions.build_pair_model(
                 store[ia], store[ib], params,
                 active_np[k, : las[k], : lbs[k]], int(opt_np[k]),
             )
-            for k, (ia, ib) in enumerate(chunk)
-        ]
+
+        workers = min(_build_workers(params), max(1, b))
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                models = list(pool.map(build, enumerate(chunk)))
+        else:
+            models = [build(kp) for kp in enumerate(chunk)]
 
     yield from _solve_models(store, chunk, models, params, la_max, lb_max,
                              las, lbs)
+
+
+def _get_unpack_model(ne: int, d: int, la_max: int, lb_max: int):
+    """Jitted slicer: one uploaded int32 buffer -> BatchModel device arrays
+    (the per-array uploads each paid a tunnel round trip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lara_tpu.solver import device_solver
+
+    nw = ne // 32
+
+    @jax.jit
+    def unpack(buf):
+        seq_score = buf[:, :ne]
+        words = jax.lax.bitcast_convert_type(
+            buf[:, ne:ne + nw], jnp.uint32)
+        active = ((words[:, :, None]
+                   >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])
+                  & 1).astype(bool).reshape(buf.shape[0], ne)
+        off = ne + nw
+        dual_l = buf[:, off:off + d]
+        dual_m = buf[:, off + d:off + 2 * d]
+        sscore = buf[:, off + 2 * d:off + 3 * d]
+        rev = buf[:, off + 3 * d:off + 4 * d]
+        qrank = buf[:, off + 4 * d:off + 5 * d]
+        la = buf[:, off + 5 * d]
+        lb = buf[:, off + 5 * d + 1]
+        nd = buf[:, off + 5 * d + 2]
+        dvalid = jnp.arange(d, dtype=jnp.int32)[None, :] < nd[:, None]
+        return device_solver.BatchModel(
+            seq_score=seq_score, active=active, dual_l=dual_l, dual_m=dual_m,
+            sscore=sscore, rev=rev, dvalid=dvalid, qrank=qrank, la=la, lb=lb)
+
+    return unpack
+
+
+def _pack_result(result, linear: bool):
+    """Concatenate the result arrays into one int32 download."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("linear",))
+    def pack(result, linear):
+        parts = [
+            result.best_partner,
+            result.best_matched.astype(jnp.int32),
+            jnp.stack([result.best_nlines, result.best_lower,
+                       result.best_upper, result.iterations], axis=1),
+        ]
+        if linear:
+            parts.append(result.dual_at_queue)
+        return jnp.concatenate(parts, axis=1)
+
+    return pack(result, linear)
 
 
 def _solve_models(store, chunk, models, params: Parameters,
@@ -247,18 +347,30 @@ def _solve_models(store, chunk, models, params: Parameters,
     if 4 * bp * e_cap * (la_max + 2 * lb_max) > 256 * 1024 * 1024:
         e_cap = 0
 
-    batch = device_solver.BatchModel(
-        seq_score=jnp.asarray(seq_score.reshape(bp, ne)),
-        active=jnp.asarray(active.reshape(bp, ne)),
-        dual_l=jnp.asarray(dual_l),
-        dual_m=jnp.asarray(dual_m),
-        sscore=jnp.asarray(sscore),
-        rev=jnp.asarray(rev),
-        dvalid=jnp.asarray(dvalid),
-        qrank=jnp.asarray(qrank),
-        la=jnp.asarray(las),
-        lb=jnp.asarray(lbs),
-    )
+    if n_dev == 1:
+        # single packed upload: per-array transfers each pay a tunnel RTT
+        bits = active.reshape(bp, ne // 32, 32).astype(np.uint32)
+        words = (bits << np.arange(32, dtype=np.uint32)).sum(
+            axis=2, dtype=np.uint32).view(np.int32)
+        nd = np.array([len(m.dual_l) for m in models] + [0] * (bp - b),
+                      np.int32)
+        buf = np.concatenate(
+            [seq_score.reshape(bp, ne), words, dual_l, dual_m, sscore, rev,
+             qrank, las[:, None], lbs[:, None], nd[:, None]], axis=1)
+        batch = _get_unpack_model(ne, dcap, la_max, lb_max)(jnp.asarray(buf))
+    else:
+        batch = device_solver.BatchModel(
+            seq_score=jnp.asarray(seq_score.reshape(bp, ne)),
+            active=jnp.asarray(active.reshape(bp, ne)),
+            dual_l=jnp.asarray(dual_l),
+            dual_m=jnp.asarray(dual_m),
+            sscore=jnp.asarray(sscore),
+            rev=jnp.asarray(rev),
+            dvalid=jnp.asarray(dvalid),
+            qrank=jnp.asarray(qrank),
+            la=jnp.asarray(las),
+            lb=jnp.asarray(lbs),
+        )
     jax.block_until_ready(batch.seq_score)  # uploads accounted to packing
     pack_timer.__exit__(None, None, None)
 
@@ -281,15 +393,18 @@ def _solve_models(store, chunk, models, params: Parameters,
             )
 
     with timing.phase("result download (host)"):
-        best_partner = np.asarray(result.best_partner)
-        best_nlines = np.asarray(result.best_nlines)
-        best_matched = np.asarray(result.best_matched)
-        best_lower = np.asarray(result.best_lower)
-        best_upper = np.asarray(result.best_upper)
-        iterations = np.asarray(result.iterations)
+        # one packed transfer (six per-array downloads = six tunnel RTTs)
+        linear = bool(params.library_score_is_linear)
+        s = result.best_partner.shape[1]
+        packed = np.asarray(_pack_result(result, linear))
+        best_partner = packed[:, :s]
+        best_matched = packed[:, s:2 * s].astype(bool)
+        best_nlines = packed[:, 2 * s]
+        best_lower = packed[:, 2 * s + 1]
+        best_upper = packed[:, 2 * s + 2]
+        iterations = packed[:, 2 * s + 3]
         # the [B, D] dual snapshot is only consumed by linear libscore mode
-        dual_q = np.asarray(result.dual_at_queue) \
-            if params.library_score_is_linear else None
+        dual_q = packed[:, 2 * s + 4:] if linear else None
 
     for k, (ia, ib) in enumerate(chunk):
         pk = best_partner[k, : int(las[k])]
