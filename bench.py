@@ -7,10 +7,13 @@ benchmark protocol (``/root/reference/benchmark/benchmark_tutorial.ipynb``),
 which publishes no numbers of its own (BASELINE.md).
 
 Metric: completed pairwise Lagrangian solves per second (device backend,
-compile excluded via warm-up).  ``vs_baseline``: speedup over the scalar
-NumPy reference mirror on the same host (the only runnable baseline in this
-environment; the reference binary cannot be built -- empty vendored
-submodules).
+compile excluded via warm-up).  ``vs_baseline``: speedup over the
+**single-thread native C++ baseline** (:mod:`lara_tpu.native.baseline`) --
+the honest LaRA-2-equivalent CPU anchor, a full per-pair solve (C++ Gotoh +
+traceback + Lagrange bookkeeping) mirroring one scalar solver slot of
+``subgradient_solver.hpp:219-331``.  The reference binary itself cannot be
+built here (empty vendored submodules).  ``benchmark/RESULTS.md`` records
+the 64-thread / SIMD extrapolations of this anchor.
 
 Full mode (``LARA_BENCH_FULL=1`` or ``--full``): additionally measures a
 ~300 nt family and a 16S-scale (~1530 nt) pair -- BASELINE.md configs 3/4 --
@@ -182,23 +185,38 @@ def main():
                                                parity_pairs=4)
     pairs = enumerate_pairs(store)
 
-    # --- scalar mirror baseline on a subset ---
-    n_base = min(4, len(pairs))
+    # --- native C++ single-thread baseline on a subset (the honest anchor;
+    # results are asserted bit-identical to the mirror in the test suite) ---
+    from lara_tpu.native import baseline as native_baseline
+
+    n_base = min(24, len(pairs))
+    native_baseline.solve_pair(store[pairs[0][0]], store[pairs[0][1]],
+                               params, pairs[0])  # warm lib + model build
     t0 = time.perf_counter()
     for (ia, ib) in pairs[:n_base]:
-        reference_driver.solve_pair(store[ia], store[ib], params, (ia, ib))
+        native_baseline.solve_pair(store[ia], store[ib], params, (ia, ib))
     base_time = time.perf_counter() - t0
     base_rate = n_base / base_time
     device_rate = len(pairs) / device_time
 
-    scales = [dict(row_trna, mirror_alignments_per_s=round(base_rate, 3))]
+    scales = [dict(row_trna, native_1t_alignments_per_s=round(base_rate, 3))]
 
     if full:
+        def native_rate(st, prs, n):
+            from lara_tpu.app import enumerate_pairs as ep
+            prs = prs[:n]
+            t0 = time.perf_counter()
+            for (ia, ib) in prs:
+                native_baseline.solve_pair(st[ia], st[ib], params, (ia, ib))
+            return round(len(prs) / (time.perf_counter() - t0), 3)
+
         # --- ~300 nt family (BASELINE config 3 scale) ---
         parity_params = Parameters(in_file="<bench>", num_iterations=10)
         store300 = make_long_family(n=8, length=300, seed=31, mutations=12)
         row300, _, _ = run_scale(store300, params, "rrna-300nt",
                                  parity_pairs=1, parity_params=parity_params)
+        row300["native_1t_alignments_per_s"] = native_rate(
+            store300, enumerate_pairs(store300), 4)
         scales.append(row300)
 
         # --- 16S-scale pair (BASELINE config 4) ---
@@ -207,6 +225,8 @@ def main():
                                       parity_pairs=1,
                                       parity_params=parity_params)
         row16s["iterations_pair0"] = int(res16s[0].iterations)
+        row16s["native_1t_alignments_per_s"] = native_rate(
+            store16s, enumerate_pairs(store16s), 1)
         scales.append(row16s)
 
         import jax
@@ -214,9 +234,13 @@ def main():
         out = {
             "hardware": str(jax.devices()[0]),
             "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
-            "mirror_note": "vs_baseline is speedup over the scalar NumPy "
-                           "mirror on this host; the reference binary cannot "
-                           "be built here (empty vendored submodules)",
+            "baseline_note": "native_1t = single-thread native C++ per-pair "
+                             "solver (lara_tpu/native/baseline.py), the "
+                             "honest LaRA-2-equivalent CPU anchor; the "
+                             "reference binary cannot be built here (empty "
+                             "vendored submodules).  See "
+                             "benchmark/RESULTS.md for thread/SIMD "
+                             "extrapolations.",
             "scales": scales,
         }
         with open("BENCH_SCALES.json", "w") as fh:

@@ -14,7 +14,9 @@ sys.path.insert(0, "benchmark")
 
 def run_variant(name, batch, params, go, ge, la_max, lb_max, bp, dcap,
                 no_match=False, no_revsort=False, no_pssm_sort=False,
-                no_align=False, no_members=False):
+                no_align=False, no_members=False, no_pssm_matmul=False,
+                no_seqpart=False, no_consistent=False, no_carrydaq=False,
+                dcap_override=None):
     import functools
 
     import jax
@@ -26,6 +28,16 @@ def run_variant(name, batch, params, go, ge, la_max, lb_max, bp, dcap,
 
     I32 = jnp.int32
     NEG_INF = ds.NEG_INF
+    if dcap_override is not None and dcap_override < dcap:
+        d2 = dcap_override
+        batch = ds.BatchModel(
+            seq_score=batch.seq_score, active=batch.active,
+            dual_l=batch.dual_l[:, :d2], dual_m=batch.dual_m[:, :d2],
+            sscore=batch.sscore[:, :d2],
+            rev=jnp.minimum(batch.rev[:, :d2], d2 - 1),
+            dvalid=batch.dvalid[:, :d2], qrank=batch.qrank[:, :d2],
+            la=batch.la, lb=batch.lb)
+        dcap = d2
     model = batch
     b, ne = model.seq_score.shape
     d = dcap
@@ -56,9 +68,9 @@ def run_variant(name, batch, params, go, ge, la_max, lb_max, bp, dcap,
         cell_b = cells - cell_a * lb_max
         cell_ok = cells < ne
         rowhot = ((cell_a[:, None, :] == jnp.arange(la_max, dtype=I32)[None, :, None])
-                  & cell_ok[:, None, :]).astype(jnp.float32)
+                  & cell_ok[:, None, :]).astype(jnp.int8)
         colhot = ((cell_b[:, :, None] == jnp.arange(lb_max, dtype=I32)[None, None, :])
-                  & cell_ok[:, :, None]).astype(jnp.float32)
+                  & cell_ok[:, :, None]).astype(jnp.int8)
         slot_base = (jnp.arange(la_max, dtype=I32) * lb_max)[None, :]
         cand_base = (model.dvalid & (model.dual_l < model.dual_m)).astype(I32)
         _, lq_s, mq_s, wq_s, candq_base = jax.lax.sort(
@@ -77,7 +89,7 @@ def run_variant(name, batch, params, go, ge, la_max, lb_max, bp, dcap,
         def body(state):
             steps_done, c = state
             act = c.lane_active
-            dual_at_queue = jnp.where(act[:, None], c.dual, c.dual_at_queue)
+            dual_at_queue = c.dual_at_queue if no_carrydaq else jnp.where(act[:, None], c.dual, c.dual_at_queue)
             profits = model.sscore + c.dual
             masked = jnp.where(model.dvalid, profits, NEG_INF)
             run_p, run_idx = ds._run_top(masked, iota_d, same_masks,
@@ -90,13 +102,18 @@ def run_variant(name, batch, params, go, ge, la_max, lb_max, bp, dcap,
                 _, vc = jax.lax.sort(
                     (compact_key, bonus), dimension=1, num_keys=1)
                 vc = vc[:, :e_cap]
-            colval = jnp.concatenate(
-                [colhot * (vc >> 16).astype(jnp.float32)[:, :, None],
-                 colhot * (vc & 0xFFFF).astype(jnp.float32)[:, :, None]],
-                axis=2)
-            out = jnp.matmul(rowhot, colval, precision=jax.lax.Precision.HIGHEST)
-            placed = (out[:, :, :lb_max].astype(I32) << 16) \
-                | out[:, :, lb_max:].astype(I32)
+            if no_pssm_matmul:
+                placed = jnp.zeros((b, ne), I32) + vc[:, :1]
+            else:
+                colval = jnp.concatenate(
+                    [colhot * ((vc >> s) & 0x7F).astype(jnp.int8)[:, :, None]
+                     for s in (28, 21, 14, 7, 0)], axis=2)
+                out = jnp.matmul(rowhot, colval, preferred_element_type=I32)
+                placed = (out[:, :, :lb_max] << 28) \
+                    | (out[:, :, lb_max:2 * lb_max] << 21) \
+                    | (out[:, :, 2 * lb_max:3 * lb_max] << 14) \
+                    | (out[:, :, 3 * lb_max:4 * lb_max] << 7) \
+                    | out[:, :, 4 * lb_max:]
             placed = placed.reshape(b, ne)
             pssm = jnp.where(
                 model.active, model.seq_score + placed,
@@ -115,11 +132,14 @@ def run_variant(name, batch, params, go, ge, la_max, lb_max, bp, dcap,
                 gap_score, n_lines = tb.gap_score, tb.n_lines
             slot_valid = partner >= 0
             slot_edge = jnp.where(slot_valid, slot_base + partner, ne)
-            pmask = partner[:, :, None] == \
-                jnp.arange(lb_max, dtype=I32)[None, None, :]
-            seq_part = jnp.sum(jnp.where(
-                pmask, model.seq_score.reshape(b, la_max, lb_max), 0),
-                axis=(1, 2))
+            if no_seqpart:
+                seq_part = jnp.sum(partner, axis=1)
+            else:
+                pmask = partner[:, :, None] == \
+                    jnp.arange(lb_max, dtype=I32)[None, None, :]
+                seq_part = jnp.sum(jnp.where(
+                    pmask, model.seq_score.reshape(b, la_max, lb_max), 0),
+                    axis=(1, 2))
             if no_members:
                 l_in = model.dvalid
                 l_in_q = jnp.ones((b, cw), bool)
@@ -141,17 +161,21 @@ def run_variant(name, batch, params, go, ge, la_max, lb_max, bp, dcap,
             sg = sg_pos.astype(I32) - (pick_rev & ~pick).astype(I32)
             count = 2 * jnp.sum(sg_pos, axis=1).astype(I32)
             any_sg = count > 0
-            is_top_exact = model.dvalid & (iota_d == run_idx)
-            tis_entry = (profits < 0) | ((profits == 0)
-                                         & (model.dual_l < model.dual_m))
-            contrib = is_top_exact & l_in & ~tis_entry
-            consistent_sum = jnp.sum(jnp.where(contrib, model.sscore, 0),
-                                     axis=1)
-            matched_cons_slot = slot_valid & jnp.any(
-                contrib[:, :, None]
-                & ((model.dual_l[:, :, None] == slot_edge[:, None, :])
-                   | (model.dual_m[:, :, None] == slot_edge[:, None, :])),
-                axis=1)
+            if no_consistent:
+                consistent_sum = jnp.sum(run_idx, axis=1)
+                matched_cons_slot = slot_valid
+            else:
+                is_top_exact = model.dvalid & (iota_d == run_idx)
+                tis_entry = (profits < 0) | ((profits == 0)
+                                             & (model.dual_l < model.dual_m))
+                contrib = is_top_exact & l_in & ~tis_entry
+                consistent_sum = jnp.sum(jnp.where(contrib, model.sscore, 0),
+                                         axis=1)
+                matched_cons_slot = slot_valid & jnp.any(
+                    contrib[:, :, None]
+                    & ((model.dual_l[:, :, None] == slot_edge[:, None, :])
+                       | (model.dual_m[:, :, None] == slot_edge[:, None, :])),
+                    axis=1)
             if no_match:
                 struct_part = consistent_sum
                 used_slot = matched_cons_slot
@@ -189,7 +213,9 @@ def run_variant(name, batch, params, go, ge, la_max, lb_max, bp, dcap,
                         - step[:, None] * sg.astype(jnp.float32)).astype(I32)
             dual = jnp.where(upd, new_dual, c.dual)
             remaining = jnp.where(act, c.remaining - 1, c.remaining)
-            done_now = act & ((best_upper == best_lower) | (remaining == 0))
+            # timing harness: fixed trip count -- broken-semantics variants
+            # must not converge early or ms/iter is meaningless
+            done_now = act & (remaining == 0)
             return steps_done + 1, ds._Carry(
                 dual=dual, dual_at_queue=dual_at_queue,
                 step_factor=step_factor, nondecr=nondecr,
@@ -229,14 +255,20 @@ def main():
 
     batch, params, go, ge, la_max, lb_max, bp, dcap = build_batch()
     base = (batch, params, go, ge, la_max, lb_max, bp, dcap)
-    run_variant("full (reimpl)", *base)
-    run_variant("no matching kernel", *base, no_match=True)
-    run_variant("no rev sort", *base, no_revsort=True)
-    run_variant("no pssm sort", *base, no_pssm_sort=True)
-    run_variant("no align", *base, no_align=True)
-    run_variant("no membership compares", *base, no_members=True)
+    import sys as _sys
+    dc = 2048 if "--dcap2048" in _sys.argv else None
+    run_variant("full (reimpl)", *base, dcap_override=dc)
+    run_variant("no matching kernel", *base, no_match=True, dcap_override=dc)
+    run_variant("no rev sort", *base, no_revsort=True, dcap_override=dc)
+    run_variant("no pssm sort", *base, no_pssm_sort=True, dcap_override=dc)
+    run_variant("no pssm matmul", *base, no_pssm_matmul=True, dcap_override=dc)
+    run_variant("no align", *base, no_align=True, dcap_override=dc)
+    run_variant("no membership compares", *base, no_members=True, dcap_override=dc)
+    run_variant("no seq_part", *base, no_seqpart=True, dcap_override=dc)
+    run_variant("no consistent", *base, no_consistent=True, dcap_override=dc)
+    run_variant("no dual_at_queue copy", *base, no_carrydaq=True, dcap_override=dc)
     run_variant("no match+revsort+pssmsort", *base, no_match=True,
-                no_revsort=True, no_pssm_sort=True)
+                no_revsort=True, no_pssm_sort=True, dcap_override=dc)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,7 @@ written in place by C++ into one pinned buffer), the line lists down
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Sequence, Tuple
 
@@ -205,7 +206,10 @@ def _solve_bucket(store, bucket_pairs, params: Parameters,
         np.concatenate([pssm_host.reshape(-1), np.zeros(1, np.int32)]))
     needs_full[:] = False  # initial upload covered the planes
 
-    pool = ThreadPoolExecutor(max_workers=min(16, lanes))
+    # -j caps the host worker pool (0 = autodetect), mirroring the
+    # reference's thread-count resolution (parameters.hpp:124-129)
+    threads = int(params.threads) or (os.cpu_count() or 1)
+    pool = ThreadPoolExecutor(max_workers=max(1, min(threads, 16, lanes)))
     go_j, ge_j = np.int32(go), np.int32(ge)
     try:
         while lane_active.any():

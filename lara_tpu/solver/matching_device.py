@@ -180,174 +180,6 @@ class RoundsResult(NamedTuple):
     used_slot: jax.Array  # [B, LCAP] bool: line slot is matched
 
 
-@functools.partial(jax.jit, static_argnames=("lookahead", "ne"))
-def greedy_matching_rounds(w2, l_edge, m_edge, cand, line_edges, qrank,
-                           lookahead: int, ne: int) -> RoundsResult:
-    """Round-vectorized greedy lookahead matching over edge-major arrays.
-
-    The queue weight is the static structure score (``matching.hpp:149-151``;
-    duals never enter), so the queue order is fixed per pair and arrives as
-    the static rank array ``qrank`` (position of each entry in the sorted
-    ``std::set`` order: weight desc, lineL asc, lineR asc) -- the per-call
-    sort disappears and no array needs reordering at runtime.  The
-    reference's entry-at-a-time scan collapses into *rounds*: contacts only
-    ever grow, so between two conflict resolutions the "skip if endpoint
-    already matched" predicate is constant -- the next ``lookahead``
-    unblocked entries are the ``lh`` smallest live ranks, found with ``lh``
-    masked min-reductions.  Entries passed over by the scan pointer stay
-    dead (the reference's forward-only iterator).  The round body is
-    gather/scatter-free on the wide arrays: selections are extracted with
-    one-hot masked sums, endpoint blocking is updated by comparing the
-    endpoint columns against the <= 2*lh newly matched edge ids, and the
-    matched-endpoint set lives as one dense [B, NE] bitmap scattered with
-    <= 2*lh indices per round.
-
-    ``w2/l_edge/m_edge/cand/qrank`` are [B, D] edge-major; ``line_edges`` is
-    [B, LCAP] (flat edge id per alignment line slot) used to read the
-    matched state back per line slot; ``ne`` (static) is the edge-id space
-    size (la_max * lb_max).
-    """
-    b, d = w2.shape
-    lh = max(1, min(int(lookahead), 8))
-    lane = jnp.arange(b, dtype=I32)
-
-    n_cand = jnp.sum(cand, axis=1).astype(I32)
-    lh_lane = jnp.minimum(I32(lh), n_cand)  # matching.hpp:153-156
-    k_idx = jnp.arange(lh, dtype=I32)[None, :]
-
-    class _St(NamedTuple):
-        ptr: jax.Array      # [B] rank scan pointer (d = lane done)
-        blocked: jax.Array  # [B, D] entry dead (not cand / endpoint matched)
-        score: jax.Array    # [B] i32
-
-    state = _St(
-        ptr=jnp.zeros((b,), I32),
-        blocked=~cand,
-        score=jnp.zeros((b,), I32),
-    )
-
-    def cond(s):
-        st, _used = s
-        return jnp.any(st.ptr < d)
-
-    def body(s):
-        st, used = s
-        engaged = st.ptr < d
-        ok = ~st.blocked & (qrank >= st.ptr[:, None])
-
-        # the next lh unblocked entries = the lh smallest live ranks;
-        # extract each with a min-reduction + one-hot masked sums (ranks are
-        # unique, so the one-hot selects exactly one entry)
-        sel_l_ks, sel_m_ks, sel_w_ks, rank_ks = [], [], [], []
-        last = jnp.full((b, 1), -1, I32)
-        for _ in range(lh):
-            r_k = jnp.min(jnp.where(ok & (qrank > last), qrank, d), axis=1,
-                          keepdims=True)
-            onehot = ok & (qrank == r_k)
-            sel_l_ks.append(jnp.sum(jnp.where(onehot, l_edge, 0), axis=1))
-            sel_m_ks.append(jnp.sum(jnp.where(onehot, m_edge, 0), axis=1))
-            sel_w_ks.append(jnp.sum(jnp.where(onehot, w2, 0), axis=1))
-            rank_ks.append(r_k[:, 0])
-            last = r_k
-        sel_l = jnp.stack(sel_l_ks, axis=1)  # [B, LH]
-        sel_m = jnp.stack(sel_m_ks, axis=1)
-        sel_w = jnp.stack(sel_w_ks, axis=1)
-        sel_rank = jnp.stack(rank_ks, axis=1)
-        valid_k = (sel_rank < d) & (k_idx < lh_lane[:, None])
-        sel_cnt = jnp.sum(valid_k, axis=1).astype(I32)
-        any_sel = sel_cnt > 0
-        sel_l = jnp.where(valid_k, sel_l, 0)
-        sel_m = jnp.where(valid_k, sel_m, 0)
-        sel_w = jnp.where(valid_k, sel_w, 0)
-
-        elim_mask = _solve_conflicts_enum(
-            sel_l, sel_m, sel_w, sel_cnt, engaged & any_sel, lh)
-        kept = (engaged & any_sel)[:, None] & valid_k & \
-            (((elim_mask[:, None] >> k_idx) & 1) == 0)
-
-        score = st.score + jnp.sum(jnp.where(kept, sel_w, 0), axis=1)
-
-        # newly matched endpoints: block every entry sharing one (fused
-        # comparisons, no gather/scatter on the wide arrays)
-        blocked = st.blocked
-        for k in range(lh):
-            lk = sel_l[:, k : k + 1]
-            mk = sel_m[:, k : k + 1]
-            hit = (l_edge == lk) | (l_edge == mk) | (m_edge == lk) | (m_edge == mk)
-            blocked = blocked | (kept[:, k : k + 1] & hit)
-
-        # matched-endpoint bitmap: <= 2*lh writes per lane (sentinel col ne)
-        used = used.at[lane[:, None], jnp.where(kept, sel_l, ne)].max(kept)
-        used = used.at[lane[:, None], jnp.where(kept, sel_m, ne)].max(kept)
-
-        # the scan stopped at the lh-th unblocked entry; a round that found
-        # fewer exhausted the queue (the reference's scan pointer hit the
-        # end), so the lane terminates after this resolution
-        sel_end = jnp.max(jnp.where(valid_k, sel_rank, -1), axis=1)
-        full_sel = any_sel & (sel_cnt >= lh_lane)
-        new_ptr = jnp.where(full_sel, sel_end + 1, d)
-        ptr = jnp.where(engaged, new_ptr, st.ptr)
-        return _St(ptr=ptr, blocked=blocked, score=score), used
-
-    used0 = jnp.zeros((b, ne + 1), bool)
-    (final, used) = jax.lax.while_loop(cond, body, (state, used0))
-    used_slot = jnp.take_along_axis(
-        used, jnp.clip(line_edges, 0, ne), axis=1)
-    return RoundsResult(score=final.score, used_slot=used_slot)
-
-
-#: compact-queue width for the in-solver matching: the round loop's wide ops
-#: are HBM-bandwidth-bound, so compacting the <= n_cand live candidates from
-#: [B, D] to [B, COMPACT_WIDTH] queue-ordered columns cuts each round's
-#: traffic by D/COMPACT_WIDTH; a lane with more candidates is rare
-#: (candidates need BOTH endpoints among the current alignment lines) and
-#: falls back to full width via lax.cond
-COMPACT_WIDTH = 512
-
-
-@functools.partial(jax.jit, static_argnames=("lookahead", "ne"))
-def greedy_matching_compact(w2, l_edge, m_edge, cand, line_edges, qrank,
-                            lookahead: int, ne: int) -> RoundsResult:
-    """Greedy lookahead matching with sort-based candidate compaction.
-
-    Same results as :func:`greedy_matching_rounds` (fuzz-tested equal), but
-    restructured for the TPU memory system: one 4-operand ``lax.sort`` by
-    ``where(cand, qrank, D)`` moves the live candidates to the first columns
-    *in queue order* (sort is cheap in-loop on TPU; scatters/gathers are
-    not), then the round loop runs on a ``[B, COMPACT_WIDTH]`` slice.
-    Compact position = candidate rank, so selection order, conflict
-    resolution and the scan-pointer death rule are reproduced exactly.
-    """
-    b, d = w2.shape
-    cw = min(COMPACT_WIDTH, d)
-    n_cand = jnp.sum(cand, axis=1).astype(I32)
-
-    keys = jnp.where(cand, qrank, I32(d))
-    _, lq, mq, wq = jax.lax.sort(
-        (keys, l_edge, m_edge, w2), dimension=1, num_keys=1)
-
-    def rounds(width: int):
-        live = jnp.arange(width, dtype=I32)[None, :] < \
-            jnp.minimum(n_cand, width)[:, None]
-        if _use_pallas():
-            from lara_tpu.solver.matching_pallas import rounds_loop_pallas
-
-            score, used = rounds_loop_pallas(
-                lq[:, :width], mq[:, :width], wq[:, :width], live,
-                line_edges, lookahead, width)
-            return RoundsResult(score=score, used_slot=used)
-        return _rounds_loop(
-            lq[:, :width], mq[:, :width], wq[:, :width], live, line_edges,
-            n_cand, lookahead, width)
-
-    if cw >= d:
-        return rounds(d)
-    # rare lanes with more live candidates than the compact width fall back
-    # to the full-width loop (both branches traced; only one executes)
-    return jax.lax.cond(
-        jnp.any(n_cand > cw), lambda: rounds(d), lambda: rounds(cw))
-
-
 def _rounds_loop(lq, mq, wq, live, line_edges, n_cand, lookahead: int,
                  width: int) -> RoundsResult:
     """Round loop over queue-ordered compacted columns (position == rank).
@@ -433,101 +265,6 @@ def _rounds_loop(lq, mq, wq, live, line_edges, n_cand, lookahead: int,
     used0 = jnp.zeros(line_edges.shape, bool)
     (final, used_slot) = jax.lax.while_loop(cond, body, (state, used0))
     return RoundsResult(score=final.score, used_slot=used_slot)
-
-
-class MatchingResult(NamedTuple):
-    score: jax.Array        # [B] int64: sum of accepted 2*score weights
-    used_vertex: jax.Array  # [B, NE] bool: matched line endpoints
-
-
-@functools.partial(jax.jit, static_argnames=("lookahead", "n_edges"))
-def greedy_matching_batch(w2, l_edge, m_edge, cand, lookahead: int, n_edges: int) -> MatchingResult:
-    """Batched greedy lookahead matching.
-
-    ``w2/l_edge/m_edge`` are [B, D] interaction candidates (weight=2*score,
-    line ids with l < m), ``cand`` the validity mask.  ``n_edges`` sizes the
-    dense vertex space for the contacts set.
-    """
-    b, d = w2.shape
-    lh = max(1, min(int(lookahead), 8))
-
-    big = jnp.iinfo(jnp.int32).max
-    key_w = jnp.where(cand, -w2.astype(I32), big)
-    key_l = jnp.where(cand, l_edge.astype(I32), big)
-    key_m = jnp.where(cand, m_edge.astype(I32), big)
-    sw, sl, sm = jax.lax.sort((key_w, key_l, key_m), dimension=1, num_keys=3)
-    n_cand = jnp.sum(cand, axis=1).astype(I32)
-    lh_lane = jnp.minimum(I32(lh), n_cand)
-
-    lane = jnp.arange(b, dtype=I32)
-
-    class _Lp(NamedTuple):
-        ptr: jax.Array
-        sel_cnt: jax.Array
-        sel_l: jax.Array   # [B, LH]
-        sel_m: jax.Array
-        sel_w: jax.Array
-        used: jax.Array    # [B, NE] bool
-        score: jax.Array   # [B] i64
-
-    state = _Lp(
-        ptr=jnp.zeros((b,), I32),
-        sel_cnt=jnp.zeros((b,), I32),
-        sel_l=jnp.zeros((b, lh), I32),
-        sel_m=jnp.zeros((b, lh), I32),
-        sel_w=jnp.zeros((b, lh), I32),
-        used=jnp.zeros((b, n_edges), bool),
-        score=jnp.zeros((b,), I64),
-    )
-
-    def lane_done(s: _Lp):
-        return (s.ptr >= n_cand) & (s.sel_cnt == 0)
-
-    def cond(s: _Lp):
-        return jnp.any(~lane_done(s))
-
-    def body(s: _Lp) -> _Lp:
-        done = lane_done(s)
-        resolving = ~done & ((s.sel_cnt >= lh_lane) | ((s.ptr >= n_cand) & (s.sel_cnt > 0)))
-        scanning = ~done & ~resolving
-
-        # --- scan one queue entry ---
-        p = jnp.clip(s.ptr, 0, d - 1)
-        e_l = sl[lane, p]
-        e_m = sm[lane, p]
-        e_w = (-sw[lane, p]).astype(I32)
-        el_c = jnp.clip(e_l, 0, n_edges - 1)
-        em_c = jnp.clip(e_m, 0, n_edges - 1)
-        blocked = s.used[lane, el_c] | s.used[lane, em_c]
-        take = scanning & (s.ptr < n_cand) & ~blocked
-        slot = jnp.clip(s.sel_cnt, 0, lh - 1)
-        sel_l = s.sel_l.at[lane, slot].set(jnp.where(take, e_l, s.sel_l[lane, slot]))
-        sel_m = s.sel_m.at[lane, slot].set(jnp.where(take, e_m, s.sel_m[lane, slot]))
-        sel_w = s.sel_w.at[lane, slot].set(jnp.where(take, e_w, s.sel_w[lane, slot]))
-        sel_cnt = s.sel_cnt + take.astype(I32)
-        ptr = jnp.where(scanning, s.ptr + 1, s.ptr)
-
-        # --- resolve conflicts for flagged lanes ---
-        elim_mask = _solve_conflicts_enum(sel_l, sel_m, sel_w, sel_cnt, resolving, lh)
-
-        k_idx = jnp.arange(lh, dtype=I32)[None, :]
-        kept = resolving[:, None] & (k_idx < sel_cnt[:, None]) & \
-            (((elim_mask[:, None] >> k_idx) & 1) == 0)
-        # accept kept edges: mark endpoints used, add weights
-        add = jnp.sum(jnp.where(kept, sel_w, 0).astype(I64), axis=1)
-        score = s.score + add
-        used = s.used
-        l_cl = jnp.clip(sel_l, 0, n_edges - 1)
-        m_cl = jnp.clip(sel_m, 0, n_edges - 1)
-        used = used.at[lane[:, None], l_cl].max(kept)
-        used = used.at[lane[:, None], m_cl].max(kept)
-        sel_cnt = jnp.where(resolving, 0, sel_cnt)
-
-        return _Lp(ptr=ptr, sel_cnt=sel_cnt, sel_l=sel_l, sel_m=sel_m,
-                   sel_w=sel_w, used=used, score=score)
-
-    final = jax.lax.while_loop(cond, body, state)
-    return MatchingResult(score=final.score, used_vertex=final.used)
 
 
 @functools.partial(jax.jit, static_argnames=("lookahead",))
