@@ -133,7 +133,7 @@ def _compute_structure(record: RnaRecord, log_scoring: bool, predict: Optional[s
         # only a fixed graph: increase the importance of the edges (io.hpp:292-296)
         record.fixed_edges = [(i, j, w * 10) for (i, j, w) in record.fixed_edges]
         return
-    if predict == "builtin":
+    if predict == "builtin" or predict is None:
         from lara_tpu.solver import bpp_predict
 
         probs = bpp_predict.basepair_probabilities(record.sequence)
@@ -150,6 +150,7 @@ def _compute_structure(record: RnaRecord, log_scoring: bool, predict: Optional[s
             f"'{record.name}'."
         )
     raise StructurePredictionRequired(
-        "Cannot compute a structure without a prediction engine. "
-        "Provide structures/dotplots in the input, or pass --predict builtin."
+        "Cannot compute a structure without a prediction engine "
+        "(--predict none mirrors a ViennaRNA-less reference build). "
+        "Provide structures/dotplots in the input, or use --predict builtin."
     )

@@ -20,7 +20,8 @@ Notes kept faithful to the reference:
   (``parameters.hpp:303-314``).
 
 lara-tpu extensions (all optional, default off):
-``--predict builtin`` enables the built-in structure predictor where the
+``--predict`` selects the structure predictor for structure-less records
+(default ``builtin``, mirroring the reference built with ViennaRNA) where the
 reference requires ViennaRNA; ``--backend {device,reference}`` selects the
 batched TPU solver or the NumPy scalar mirror; ``--precise-bpp`` disables the
 reference's int-truncation of contact probabilities.
@@ -74,7 +75,7 @@ class Parameters:
     gap_open: float = -6.0
     score_matrix_file: str = ""
     # lara-tpu extensions
-    predict: Optional[str] = None
+    predict: Optional[str] = "builtin"
     backend: str = "device"
     precise_bpp: bool = False
     msa_file: str = ""
@@ -151,10 +152,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("-s", "--scorematrix", default="",
                         help="Score matrix file. Default: Ribosum65N.")
     # lara-tpu extensions
-    parser.add_argument("--predict", default=None, choices=(None, "builtin"),
+    parser.add_argument("--predict", default="builtin",
+                        choices=("builtin", "none"),
                         help="Structure prediction engine for records without "
-                             "structure (default: none, mirroring the reference "
-                             "without ViennaRNA).")
+                             "structure.  Default 'builtin' (McCaskill "
+                             "base-pair probabilities) mirrors the reference "
+                             "built with ViennaRNA (io.hpp:286-338); 'none' "
+                             "mirrors a ViennaRNA-less build (error on "
+                             "structure-less input, io.hpp:332-336).")
     parser.add_argument("--backend", default="device", choices=("device", "reference"),
                         help="device: batched TPU solver (default); "
                              "reference: NumPy scalar mirror of the C++ driver.")

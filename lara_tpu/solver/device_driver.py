@@ -338,9 +338,10 @@ def _solve_models(store, chunk, models, params: Parameters,
     steps_needed = max(1, (max_run - 1).bit_length())
     scan_steps = min(steps_needed + (steps_needed & 1),
                      max(1, (dcap - 1).bit_length()))
-    # compacted run-start capacity for the MXU grid placement (quantised for
-    # program reuse, bounded by the dual capacity)
-    e_cap = min(dcap, max(256, 1 << (max_edges - 1).bit_length()))
+    # compacted run-start capacity for the MXU grid placement (256-step
+    # quantisation: programs are reused across chunks while the placement
+    # matmul operands avoid the up-to-2x power-of-two pad)
+    e_cap = min(dcap, max(256, _round_up(max_edges, 256)))
     # the one-hot placement operands are [B, LA, E] + [B, E, 2*LB] f32; for
     # dense long-pair batches they outgrow HBM usefulness -- fall back to the
     # scatter path beyond ~256 MB of operand traffic

@@ -69,12 +69,18 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _align(pssm, la, lb, go, ge, la_max: int, lb_max: int):
+def _align(pssm, la, lb, go, ge, la_max: int, lb_max: int, seq_scores=None):
     if _use_pallas():
         from lara_tpu.ops.gotoh_pallas import align_pssm_batch_pallas
 
+        # block_b=128: one batch block halves the sequential grid steps at
+        # bench widths (the VMEM guard inside still scales it down for wide
+        # pairs); dchunk grows with the diagonal count so long pairs amortize
+        # the per-grid-step overhead (see PROFILE.md)
+        dchunk = 8 if la_max + lb_max <= 512 else 32
         return align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max, lb_max,
-                                       emit_lines=False)
+                                       emit_lines=False, block_b=128,
+                                       dchunk=dchunk, seq_scores=seq_scores)
     return gotoh.align_pssm_batch(pssm, la, lb, go, ge, la_max, lb_max)
 
 
@@ -345,6 +351,10 @@ def solve_batch_chunk(
     wq_c = wq_c[:, :cw]
     nc_base = jnp.sum(candq_base, axis=1).astype(I32)
     iota_cw = jnp.arange(cw, dtype=I32)[None, :]
+    # rev applied as a single-array key sort: keys 2*rev[i] (unique) with the
+    # pick bit riding in bit 0; sorted position j then holds pick[rev[j]]
+    # (rev is an involution).  One-array sorts beat key+payload sorts on TPU
+    rev_packed = model.rev * 2
 
     def body(state):
         steps_done, c = state
@@ -392,19 +402,25 @@ def solve_batch_chunk(
             model.active, model.seq_score + placed,
             I32(PSSM_INIT)).reshape(b, la_max, lb_max)
 
-        # ---- relaxed problem: wavefront DP + traceback ----
-        tb = _align(pssm, model.la, model.lb, go, ge, la_max, lb_max)
+        # ---- relaxed problem: wavefront DP + traceback.  The traceback
+        # kernel accumulates the per-line seq-score sum in-kernel (the
+        # skewed seq-score stream is loop-invariant; XLA hoists it) ----
+        tb = _align(pssm, model.la, model.lb, go, ge, la_max, lb_max,
+                    seq_scores=model.seq_score.reshape(b, la_max, lb_max))
         upper = tb.upper
         partner = tb.partner                                  # [B, S]
 
         # ---- current solution on dense position slots ----
         slot_valid = partner >= 0
         slot_edge = jnp.where(slot_valid, slot_base + partner, ne)  # [B, S]
-        pmask = partner[:, :, None] == \
-            jnp.arange(lb_max, dtype=I32)[None, None, :]       # [B, LA, LB]
-        seq_part = jnp.sum(jnp.where(
-            pmask, model.seq_score.reshape(b, la_max, lb_max), 0),
-            axis=(1, 2))
+        if tb.seq_part is not None:
+            seq_part = tb.seq_part
+        else:  # XLA traceback fallback: dense reduce over the line mask
+            pmask = partner[:, :, None] == \
+                jnp.arange(lb_max, dtype=I32)[None, None, :]   # [B, LA, LB]
+            seq_part = jnp.sum(jnp.where(
+                pmask, model.seq_score.reshape(b, la_max, lb_max), 0),
+                axis=(1, 2))
 
         # ---- line membership per entry: fused compare-reduce against the
         # <= S line edge ids (dynamic [B, D]-wide gathers are an order of
@@ -422,8 +438,8 @@ def solve_batch_chunk(
         # cycle(i) = pick(rev(i)) by symmetry.  rev is an involution, so
         # x[rev] == sort(x by key rev) -- a TPU sort beats an XLA gather here
         pick = l_in & (run_p >= 0) & is_top
-        _, pick_rev = jax.lax.sort(
-            (model.rev, pick), dimension=1, num_keys=1)
+        pick_rev = (jax.lax.sort(rev_packed | pick.astype(I32), dimension=1)
+                    & 1) == 1
         sg_pos = pick & ~pick_rev
         sg = sg_pos.astype(I32) - (pick_rev & ~pick).astype(I32)
         count = 2 * jnp.sum(sg_pos, axis=1).astype(I32)

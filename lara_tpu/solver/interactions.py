@@ -88,6 +88,41 @@ def adjacency_arrays(record: RnaRecord, length: int, precise: bool):
     return partners, weights
 
 
+_NATIVE_BUILD = None
+
+
+def _native_build():
+    """ctypes handle to the C++ model builder (None if unavailable)."""
+    global _NATIVE_BUILD
+    if _NATIVE_BUILD is None:
+        import os
+
+        if os.environ.get("LARA_NO_NATIVE_BUILD"):
+            _NATIVE_BUILD = False
+        else:
+            try:
+                import ctypes
+
+                from lara_tpu.native import shared_library
+
+                lib = ctypes.CDLL(shared_library("model_build"))
+                i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+                f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+                u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+                lib.lara_build_model.restype = ctypes.c_int
+                lib.lara_build_model.argtypes = [
+                    ctypes.c_int, ctypes.c_int, u8p,
+                    i32p, f32p, ctypes.c_int,
+                    i32p, f32p, ctypes.c_int,
+                    ctypes.c_float,
+                    i32p, i32p, i32p, i32p, i32p, ctypes.c_int,
+                ]
+                _NATIVE_BUILD = lib
+            except Exception:
+                _NATIVE_BUILD = False
+    return _NATIVE_BUILD or None
+
+
 def build_pair_model(
     rec_a: RnaRecord,
     rec_b: RnaRecord,
@@ -95,8 +130,10 @@ def build_pair_model(
     active: np.ndarray,
     opt_score: int,
 ) -> PairModel:
-    """Vectorized equivalent of the ``Lagrange`` constructor body, given the
-    edge-filter result."""
+    """The ``Lagrange`` constructor body, given the edge-filter result:
+    native C++ when the toolchain is available (it releases the GIL, so the
+    driver's ``-j`` pool parallelises for real), NumPy otherwise.  Both are
+    bit-identical (``tests/test_interactions_native.py``)."""
     seq_a = encode_rna5(rec_a.sequence).astype(np.int32)
     seq_b = encode_rna5(rec_b.sequence).astype(np.int32)
     la, lb = len(seq_a), len(seq_b)
@@ -111,8 +148,44 @@ def build_pair_model(
     pb, wb = adjacency_arrays(rec_b, lb, params.precise_bpp)
     ka, kb = pa.shape[1], pb.shape[1]
 
-    # enumerate candidates in edge-major, (head, tail)-contact order
     act = np.ascontiguousarray(active, dtype=bool)
+    lib = _native_build()
+    if lib is not None:
+        # exact candidate upper bound: sum over active edges of deg_a * deg_b
+        dega = (pa >= 0).sum(axis=1).astype(np.int64)
+        degb = (pb >= 0).sum(axis=1).astype(np.int64)
+        a_ids, b_ids = np.nonzero(act)
+        cap = int((dega[a_ids] * degb[b_ids]).sum()) if len(a_ids) else 0
+        out_l = np.empty(cap, np.int32)
+        out_m = np.empty(cap, np.int32)
+        out_s = np.empty(cap, np.int32)
+        out_rev = np.empty(cap, np.int32)
+        out_q = np.empty(cap, np.int32)
+        d = lib.lara_build_model(
+            la, lb, act.astype(np.uint8).reshape(-1),
+            np.ascontiguousarray(pa, np.int32).reshape(-1),
+            np.ascontiguousarray(wa, np.float32).reshape(-1), ka,
+            np.ascontiguousarray(pb, np.int32).reshape(-1),
+            np.ascontiguousarray(wb, np.float32).reshape(-1), kb,
+            np.float32(params.balance),
+            out_l, out_m, out_s, out_rev, out_q, cap) if cap else 0
+        if d < 0:
+            raise AssertionError("native model build failed (asymmetric table)")
+        return PairModel(la, lb, seq_a, seq_b, act, seq_score,
+                         out_l[:d].copy(), out_m[:d].copy(), out_s[:d].copy(),
+                         out_rev[:d].copy(), out_q[:d].copy())
+
+    return _build_pair_model_numpy(rec_a, rec_b, params, act, seq_score,
+                                   seq_a, seq_b, pa, wa, pb, wb)
+
+
+def _build_pair_model_numpy(rec_a, rec_b, params, act, seq_score,
+                            seq_a, seq_b, pa, wa, pb, wb) -> PairModel:
+    """Vectorized NumPy mirror of the native builder."""
+    la, lb = len(seq_a), len(seq_b)
+    ka, kb = pa.shape[1], pb.shape[1]
+
+    # enumerate candidates in edge-major, (head, tail)-contact order
     a_ids, b_ids = np.nonzero(act)
     e_count = len(a_ids)
     if e_count == 0:

@@ -162,3 +162,33 @@ def test_exact_matching_uses_native():
     assert total == 2 * 30 + 2 * 8
     assert contacts[4] == 5 and contacts[5] == 4
     assert contacts[6] == 7 and contacts[7] == 6
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_random_large_vs_networkx(seed):
+    """100-160 vertex graphs incl. dense and tie-heavy weight regimes
+    (VERDICT r2 #6: larger-scale blossom fuzz)."""
+    blossom = _native()
+    nx = pytest.importorskip("networkx")
+    rng = random.Random(7000 + seed)
+    n = rng.randint(100, 160)
+    density = [2, 4, 8, 16][seed % 4]
+    tie_heavy = seed % 2 == 0
+    edges = {}
+    for _ in range(n * density):
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u == v:
+            continue
+        key = (min(u, v), max(u, v))
+        w = rng.randint(1, 6) * 2 if tie_heavy else rng.randint(1, 100_000)
+        edges[key] = max(edges.get(key, 0), w)
+    edge_list = [(u, v, w) for (u, v), w in edges.items()]
+    total, pairs = blossom.max_weight_matching(edge_list)
+    check_valid(edge_list, total, pairs)
+
+    graph = nx.Graph()
+    for (u, v, w) in edge_list:
+        graph.add_edge(u, v, weight=w)
+    mate = nx.max_weight_matching(graph, maxcardinality=False)
+    nx_total = sum(graph[u][v]["weight"] for (u, v) in mate)
+    assert total == nx_total

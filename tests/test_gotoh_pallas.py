@@ -61,3 +61,19 @@ def test_align_path_matches_xla(problem):
     assert np.array_equal(np.asarray(pal.lines), np.asarray(ref.lines))
     assert np.array_equal(np.asarray(pal.n_lines), np.asarray(ref.n_lines))
     assert np.array_equal(np.asarray(pal.gap_score), np.asarray(ref.gap_score))
+
+
+def test_traceback_seq_part_accumulation(problem):
+    """In-kernel seq_part == dense reduce of seq scores over matched lines
+    (the fused solver's lower-bound seq term, ``lagrange.hpp:376-378``)."""
+    pssm, la, lb, la_max, lb_max = problem
+    rng = np.random.default_rng(11)
+    seq_scores = jnp.asarray(
+        rng.integers(-5000, 5000, pssm.shape, dtype=np.int32))
+    pal = align_pssm_batch_pallas(
+        pssm, la, lb, GO, GE, la_max, lb_max, block_b=4, interpret=True,
+        emit_lines=False, seq_scores=seq_scores)
+    assert pal.seq_part is not None
+    pmask = np.asarray(pal.partner)[:, :, None] == np.arange(lb_max)[None, None, :]
+    want = np.sum(np.where(pmask, np.asarray(seq_scores), 0), axis=(1, 2))
+    np.testing.assert_array_equal(np.asarray(pal.seq_part), want)

@@ -269,3 +269,19 @@ def test_stockholm_wuss_pseudoknot_lowercase(tmp_path):
     assert (4, 15) in edges and (5, 14) in edges
     # ',' and ':' columns are unpaired
     assert len(edges) == 6
+
+
+def test_structureless_input_auto_predicts(tmp_path):
+    """Default --predict builtin: plain fasta gets McCaskill bpp edges, the
+    reference-with-ViennaRNA behavior (io.hpp:286-338)."""
+    from lara_tpu.io.records import InputStorage, StructurePredictionRequired
+
+    fa = tmp_path / "seqs.fa"
+    fa.write_text(">s1\nGGGGAAAACCCC\n>s2\nGGGCAAAAGCCC\n")
+    store = InputStorage(in_file=str(fa), predict_structures="builtin")
+    assert all(r.bpp_edges for r in store)
+
+    import pytest
+
+    with pytest.raises(StructurePredictionRequired):
+        InputStorage(in_file=str(fa), predict_structures="none")
