@@ -78,7 +78,11 @@ def _apply_platform_env() -> None:
         # noisy to reload, and CPU compiles are cheap anyway.
         try:
             jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            # 10s threshold: on tunnel-attached TPUs a cache *hit* costs
+            # ~10s of executable load through the compile helper (measured,
+            # benchmark/COMPILE.md), so persisting sub-10s compiles makes
+            # warm runs slower, not faster
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
         except Exception:
             pass  # older jax without these flags
 

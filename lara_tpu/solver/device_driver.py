@@ -133,9 +133,12 @@ def _build_workers(params: Parameters) -> int:
     return max(1, threads)
 
 
-def _pack_filter(active, opt):
-    """Bit-pack the edge-filter result into one int32 array so the tunnel
-    pays a single device->host transfer: [B, NE/32 words + 1 opt column]."""
+@functools.lru_cache(maxsize=1)
+def _get_pack_filter():
+    """Jitted bit-packer for the edge-filter result: one int32 download of
+    [B, NE/32 words + 1 opt column].  Cached: a fresh ``jax.jit`` object per
+    call would retrace+recompile every time (~0.6 s through the tunnel's
+    remote compile helper)."""
     import jax
     import jax.numpy as jnp
 
@@ -147,7 +150,11 @@ def _pack_filter(active, opt):
                         axis=2).astype(jnp.int32)
         return jnp.concatenate([words, opt[:, None].astype(jnp.int32)], axis=1)
 
-    return pack(active, opt)
+    return pack
+
+
+def _pack_filter(active, opt):
+    return _get_pack_filter()(active, opt)
 
 
 def _unpack_filter(packed_np: np.ndarray, la_max: int, lb_max: int):
@@ -212,9 +219,11 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
                              las, lbs)
 
 
+@functools.lru_cache(maxsize=64)
 def _get_unpack_model(ne: int, d: int, la_max: int, lb_max: int):
     """Jitted slicer: one uploaded int32 buffer -> BatchModel device arrays
-    (the per-array uploads each paid a tunnel round trip)."""
+    (the per-array uploads each paid a tunnel round trip).  lru-cached per
+    shape class: rebuilding the jit object per chunk retraced+recompiled."""
     import jax
     import jax.numpy as jnp
 
@@ -247,8 +256,8 @@ def _get_unpack_model(ne: int, d: int, la_max: int, lb_max: int):
     return unpack
 
 
-def _pack_result(result, linear: bool):
-    """Concatenate the result arrays into one int32 download."""
+@functools.lru_cache(maxsize=1)
+def _get_pack_result():
     import jax
     import jax.numpy as jnp
 
@@ -264,7 +273,12 @@ def _pack_result(result, linear: bool):
             parts.append(result.dual_at_queue)
         return jnp.concatenate(parts, axis=1)
 
-    return pack(result, linear)
+    return pack
+
+
+def _pack_result(result, linear: bool):
+    """Concatenate the result arrays into one int32 download (cached jit)."""
+    return _get_pack_result()(result, linear)
 
 
 def _solve_models(store, chunk, models, params: Parameters,
