@@ -213,10 +213,31 @@ def main():
         # --- ~300 nt family (BASELINE config 3 scale) ---
         parity_params = Parameters(in_file="<bench>", num_iterations=10)
         store300 = make_long_family(n=8, length=300, seed=31, mutations=12)
-        row300, _, _ = run_scale(store300, params, "rrna-300nt",
-                                 parity_pairs=1, parity_params=parity_params)
+        row300, res300, _ = run_scale(store300, params, "rrna-300nt",
+                                      parity_pairs=1,
+                                      parity_params=parity_params)
         row300["native_1t_alignments_per_s"] = native_rate(
             store300, enumerate_pairs(store300), 4)
+        # full-depth parity: the 500-iteration mirror golden on the
+        # slowest-converging pair (tests/golden/parity_300nt_full.json);
+        # closes the round-2 "truncated-budget-only" gap at zero extra cost
+        golden_path = os.path.join("tests", "golden", "parity_300nt_full.json")
+        if os.path.exists(golden_path):
+            with open(golden_path) as fh:
+                golden = json.load(fh)
+            gi = tuple(golden["seq_indices"])
+            dev = next(r for r in res300 if r.seq_indices == gi)
+            ok = ([list(c) for c in dev.columns]
+                  == [list(c) for c in golden["columns"]]
+                  and dev.best_lower == golden["best_lower"]
+                  and dev.best_upper == golden["best_upper"]
+                  and dev.iterations == golden["iterations_run"])
+            if not ok:
+                print("FATAL: full-depth 300nt device/mirror mismatch",
+                      file=sys.stderr)
+                sys.exit(1)
+            row300["full_depth_parity_pair"] = list(gi)
+            row300["full_depth_parity"] = "ok (500 iters, byte-equal columns)"
         scales.append(row300)
 
         # --- 16S-scale pair (BASELINE config 4) ---

@@ -60,6 +60,7 @@ def run_family(name, unaligned, reference, out_dir, args):
         out_file=lib_file,
         predict=args.predict,
         num_iterations=args.numiter,
+        balance=args.balance,
     )
     outlib = run(params)
     solve_s = time.time() - t0
@@ -84,9 +85,26 @@ def run_family(name, unaligned, reference, out_dir, args):
         print(f"# {name}: MCC failed: {exc}", file=sys.stderr)
         mcc = float("nan")
 
+    sps_null = float("nan")
+    if args.with_null:
+        # column-shuffle null: permute the columns of OUR alignment -- an
+        # alignment-shaped object with the same residues and gap volume but
+        # no signal; its SPS is the floor real numbers must clear
+        import numpy as np
+
+        rng = np.random.default_rng(12345)
+        test = evaluate.read_msa(msa_file)
+        n_cols = len(test[0][1])
+        perm = rng.permutation(n_cols)
+        null_file = msa_file + ".null.fa"
+        with open(null_file, "w") as handle:
+            for nm, row in test:
+                handle.write(f">{nm}\n{''.join(row[c] for c in perm)}\n")
+        sps_null = evaluate.sps(reference, null_file)
+
     records = evaluate.read_msa(reference)
     avg_len = sum(len(s.replace("-", "")) for _, s in records) / len(records)
-    return (name, len(records), avg_len, solve_s, msa_s, sps, mcc)
+    return (name, len(records), avg_len, solve_s, msa_s, sps, mcc, sps_null)
 
 
 def main(argv=None) -> int:
@@ -100,18 +118,24 @@ def main(argv=None) -> int:
                         help="use the external t_coffee binary for the MSA stage")
     parser.add_argument("--consensus", default="auto",
                         choices=("auto", "rnaalifold", "builtin"))
+    parser.add_argument("--balance", type=float, default=1.0,
+                        help="structural-score weight (-b); 0 gives the "
+                             "sequence-only ablation")
+    parser.add_argument("--with-null", action="store_true",
+                        help="also score a column-shuffled null of each MSA "
+                             "(the no-signal SPS floor)")
     args = parser.parse_args(argv)
 
     if args.t_coffee and not shutil.which("t_coffee"):
         parser.error("--t-coffee requested but t_coffee is not in PATH")
 
     os.makedirs(args.out_dir, exist_ok=True)
-    print("family\tn_seqs\tavg_len\tsolve_s\tmsa_s\tsps\tmcc")
+    print("family\tn_seqs\tavg_len\tsolve_s\tmsa_s\tsps\tmcc\tsps_null")
     rows = []
     for name, unaligned, reference in find_families(args.data_dir):
         row = run_family(name, unaligned, reference, args.out_dir, args)
         rows.append(row)
-        print("%s\t%d\t%.1f\t%.2f\t%.2f\t%.4f\t%.4f" % row)
+        print("%s\t%d\t%.1f\t%.2f\t%.2f\t%.4f\t%.4f\t%.4f" % row)
     if rows:
         n = len(rows)
         print("# mean\t\t\t%.2f\t%.2f\t%.4f\t%.4f" % (

@@ -298,6 +298,36 @@ def gotoh_scan_pallas(skewed, la, lb, go, ge, block_b: int = 64,
     return final_m, final_h, final_v, dirs[:, :b, :width]
 
 
+def align_plan(b: int, la_max: int, lb_max: int, block_b: int = 64,
+               dchunk: int = 8):
+    """Static padding plan shared by the wavefront kernels and callers that
+    pre-skew loop-invariant streams: (bb, bp, wp, dp, num_diag)."""
+    num_diag = la_max + lb_max + 1
+    wp_est = _round_up(la_max + 1, 128)
+    vmem_cap = max(1, (10 * 1024 * 1024) // (41 * 4 * wp_est))
+    block_b = min(block_b, 1 << (vmem_cap.bit_length() - 1))
+    bb = max(1, min(block_b, b))
+    bp = _round_up(b, bb)
+    wp = _round_up(la_max + 1, 128)
+    dp = _round_up(num_diag, dchunk)
+    return bb, bp, wp, dp, num_diag
+
+
+def prepare_skewed_seq(seq_scores, la_max: int, lb_max: int,
+                       block_b: int = 64, dchunk: int = 8):
+    """Skew + pad a loop-invariant [B, LA, LB] stream (e.g. seq scores) into
+    the traceback kernel's [dp, bp, wp] layout.  Hoist this OUT of iteration
+    loops: XLA does not reliably hoist the skew gather at 16S scale (+11
+    ms/iter measured), and it is loop-invariant by construction."""
+    from lara_tpu.ops import gotoh
+
+    b = seq_scores.shape[0]
+    bb, bp, wp, dp, num_diag = align_plan(b, la_max, lb_max, block_b, dchunk)
+    sseq = gotoh.skew_scores(seq_scores, 0)
+    return jnp.pad(
+        sseq, ((0, dp - num_diag), (0, bp - b), (0, wp - (la_max + 1))))
+
+
 @functools.partial(
     jax.jit, static_argnames=("la_max", "lb_max", "block_b", "dchunk",
                               "interpret", "emit_lines")
@@ -305,7 +335,7 @@ def gotoh_scan_pallas(skewed, la, lb, go, ge, block_b: int = 64,
 def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
                             block_b: int = 64, dchunk: int = 8,
                             interpret: bool = False, emit_lines: bool = True,
-                            seq_scores=None):
+                            seq_scores=None, seq_scores_skewed=None):
     """Pallas-backed drop-in for :func:`lara_tpu.ops.gotoh.align_pssm_batch`:
     forward wavefront kernel -> reverse-sweep traceback kernel -> line-list
     compaction (XLA sort).  Padded lanes have la = lb = 0 and trace nothing.
@@ -315,6 +345,9 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
     ``seq_scores`` ([B, LA, LB] int32, loop-invariant) makes the traceback
     accumulate the per-line sequence-score sum in-kernel (``seq_part``);
     without it the traceback streams zeros and ``seq_part`` is 0.
+    ``seq_scores_skewed`` is the pre-skewed/padded [dp, bp, wp] form from
+    :func:`prepare_skewed_seq` -- pass it from iteration loops so the skew
+    gather is not re-run per call.
     """
     from lara_tpu.ops import gotoh
 
@@ -322,16 +355,8 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
     lcap = min(la_max, lb_max)
     skewed = gotoh.skew_scores(pssm, PSSM_INIT)
     num_diag = skewed.shape[0]
-    # scale the batch block down for wide problems: VMEM holds the in/out
-    # diagonal blocks (double-buffered) plus 9 wavefront rows per lane,
-    # ~41 * wp * 4 bytes per lane; keep under ~10 MB
-    wp_est = _round_up(la_max + 1, 128)
-    vmem_cap = max(1, (10 * 1024 * 1024) // (41 * 4 * wp_est))
-    block_b = min(block_b, 1 << (vmem_cap.bit_length() - 1))
-    bb = max(1, min(block_b, b))
-    bp = _round_up(b, bb)
-    wp = _round_up(la_max + 1, 128)
-    dp = _round_up(num_diag, dchunk)
+    # VMEM-aware batch blocking shared with prepare_skewed_seq callers
+    bb, bp, wp, dp, _ = align_plan(b, la_max, lb_max, block_b, dchunk)
     skewed = jnp.pad(
         skewed,
         ((0, dp - num_diag), (0, bp - b), (0, wp - (la_max + 1))),
@@ -370,14 +395,20 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
         interpret=interpret,
     )(params, skewed, la_p, lb_p)
 
-    if seq_scores is not None:
+    if seq_scores_skewed is not None:
+        sseq = seq_scores_skewed
+        assert sseq.shape == (dp, bp, wp), (sseq.shape, (dp, bp, wp))
+        have_seq = True
+    elif seq_scores is not None:
         sseq = gotoh.skew_scores(seq_scores, 0)
         sseq = jnp.pad(
             sseq,
             ((0, dp - num_diag), (0, bp - b), (0, wp - (la_max + 1))),
         )
+        have_seq = True
     else:
         sseq = jnp.zeros((dp, bp, wp), I32)
+        have_seq = False
 
     partner, scalars = pl.pallas_call(
         _make_traceback_kernel(dchunk, num_blocks),
@@ -415,7 +446,7 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
     upper = scalars[0, :b, 0]
     gap_score = scalars[1, :b, 0]
     n_lines = scalars[2, :b, 0]
-    seq_part = scalars[3, :b, 0] if seq_scores is not None else None
+    seq_part = scalars[3, :b, 0] if have_seq else None
     if not emit_lines:
         lines = jnp.zeros((b, 0, 2), I32)
         return gotoh.Traceback(

@@ -69,18 +69,25 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _align(pssm, la, lb, go, ge, la_max: int, lb_max: int, seq_scores=None):
+def _align_dchunk(la_max: int, lb_max: int) -> int:
+    """dchunk grows with the diagonal count so long pairs amortize the
+    per-grid-step overhead (see PROFILE.md)."""
+    return 8 if la_max + lb_max <= 512 else 32
+
+
+def _align(pssm, la, lb, go, ge, la_max: int, lb_max: int, seq_scores=None,
+           seq_scores_skewed=None):
     if _use_pallas():
         from lara_tpu.ops.gotoh_pallas import align_pssm_batch_pallas
 
         # block_b=128: one batch block halves the sequential grid steps at
         # bench widths (the VMEM guard inside still scales it down for wide
-        # pairs); dchunk grows with the diagonal count so long pairs amortize
-        # the per-grid-step overhead (see PROFILE.md)
-        dchunk = 8 if la_max + lb_max <= 512 else 32
+        # pairs)
         return align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max, lb_max,
                                        emit_lines=False, block_b=128,
-                                       dchunk=dchunk, seq_scores=seq_scores)
+                                       dchunk=_align_dchunk(la_max, lb_max),
+                                       seq_scores=seq_scores,
+                                       seq_scores_skewed=seq_scores_skewed)
     return gotoh.align_pssm_batch(pssm, la, lb, go, ge, la_max, lb_max)
 
 
@@ -355,6 +362,16 @@ def solve_batch_chunk(
     # pick bit riding in bit 0; sorted position j then holds pick[rev[j]]
     # (rev is an involution).  One-array sorts beat key+payload sorts on TPU
     rev_packed = model.rev * 2
+    # the traceback kernel's seq-score stream, skewed ONCE (loop-invariant;
+    # XLA does not reliably hoist the skew gather at 16S scale)
+    if _use_pallas():
+        from lara_tpu.ops.gotoh_pallas import prepare_skewed_seq
+
+        sseq_skewed = prepare_skewed_seq(
+            model.seq_score.reshape(b, la_max, lb_max), la_max, lb_max,
+            block_b=128, dchunk=_align_dchunk(la_max, lb_max))
+    else:
+        sseq_skewed = None
 
     def body(state):
         steps_done, c = state
@@ -406,7 +423,7 @@ def solve_batch_chunk(
         # kernel accumulates the per-line seq-score sum in-kernel (the
         # skewed seq-score stream is loop-invariant; XLA hoists it) ----
         tb = _align(pssm, model.la, model.lb, go, ge, la_max, lb_max,
-                    seq_scores=model.seq_score.reshape(b, la_max, lb_max))
+                    seq_scores_skewed=sseq_skewed)
         upper = tb.upper
         partner = tb.partner                                  # [B, S]
 

@@ -77,3 +77,24 @@ def test_traceback_seq_part_accumulation(problem):
     pmask = np.asarray(pal.partner)[:, :, None] == np.arange(lb_max)[None, None, :]
     want = np.sum(np.where(pmask, np.asarray(seq_scores), 0), axis=(1, 2))
     np.testing.assert_array_equal(np.asarray(pal.seq_part), want)
+
+
+def test_traceback_seq_part_preskewed(problem):
+    """Pre-skewed seq stream (prepare_skewed_seq) == in-call skew path."""
+    from lara_tpu.ops.gotoh_pallas import prepare_skewed_seq
+
+    pssm, la, lb, la_max, lb_max = problem
+    rng = np.random.default_rng(12)
+    seq_scores = jnp.asarray(
+        rng.integers(-5000, 5000, pssm.shape, dtype=np.int32))
+    ref = align_pssm_batch_pallas(
+        pssm, la, lb, GO, GE, la_max, lb_max, block_b=4, interpret=True,
+        emit_lines=False, seq_scores=seq_scores)
+    sk = prepare_skewed_seq(seq_scores, la_max, lb_max, block_b=4)
+    pal = align_pssm_batch_pallas(
+        pssm, la, lb, GO, GE, la_max, lb_max, block_b=4, interpret=True,
+        emit_lines=False, seq_scores_skewed=sk)
+    np.testing.assert_array_equal(np.asarray(pal.seq_part),
+                                  np.asarray(ref.seq_part))
+    np.testing.assert_array_equal(np.asarray(pal.partner),
+                                  np.asarray(ref.partner))
