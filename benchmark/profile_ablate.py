@@ -16,7 +16,7 @@ def run_variant(name, batch, params, go, ge, la_max, lb_max, bp, dcap,
                 no_match=False, no_revsort=False, no_pssm_sort=False,
                 no_align=False, no_members=False, no_pssm_matmul=False,
                 no_seqpart=False, no_consistent=False, no_carrydaq=False,
-                dcap_override=None):
+                dcap_override=None, e_cap=1024):
     import functools
 
     import jax
@@ -42,7 +42,6 @@ def run_variant(name, batch, params, go, ge, la_max, lb_max, bp, dcap,
     b, ne = model.seq_score.shape
     d = dcap
     steps = 4
-    e_cap = 1024
     max_nondecr = int(params.max_nondecr_iterations)
     lookahead = int(params.matching)
     go = I32(go)
@@ -251,24 +250,28 @@ def run_variant(name, batch, params, go, ge, la_max, lb_max, bp, dcap,
 
 
 def main():
+    import sys as _sys
+
     from profile_chunk import build_batch
 
-    batch, params, go, ge, la_max, lb_max, bp, dcap = build_batch()
+    scale = "16s" if "--16s" in _sys.argv else "trna"
+    batch, params, go, ge, la_max, lb_max, bp, dcap = build_batch(scale)
     base = (batch, params, go, ge, la_max, lb_max, bp, dcap)
-    import sys as _sys
-    dc = 2048 if "--dcap2048" in _sys.argv else None
-    run_variant("full (reimpl)", *base, dcap_override=dc)
-    run_variant("no matching kernel", *base, no_match=True, dcap_override=dc)
-    run_variant("no rev sort", *base, no_revsort=True, dcap_override=dc)
-    run_variant("no pssm sort", *base, no_pssm_sort=True, dcap_override=dc)
-    run_variant("no pssm matmul", *base, no_pssm_matmul=True, dcap_override=dc)
-    run_variant("no align", *base, no_align=True, dcap_override=dc)
-    run_variant("no membership compares", *base, no_members=True, dcap_override=dc)
-    run_variant("no seq_part", *base, no_seqpart=True, dcap_override=dc)
-    run_variant("no consistent", *base, no_consistent=True, dcap_override=dc)
-    run_variant("no dual_at_queue copy", *base, no_carrydaq=True, dcap_override=dc)
+    # e_cap mirrors the production driver's choice per scale
+    kw = dict(dcap_override=2048 if "--dcap2048" in _sys.argv else None,
+              e_cap=2048 if scale == "16s" else 1024)
+    run_variant("full (reimpl)", *base, **kw)
+    run_variant("no matching kernel", *base, no_match=True, **kw)
+    run_variant("no rev sort", *base, no_revsort=True, **kw)
+    run_variant("no pssm sort", *base, no_pssm_sort=True, **kw)
+    run_variant("no pssm matmul", *base, no_pssm_matmul=True, **kw)
+    run_variant("no align", *base, no_align=True, **kw)
+    run_variant("no membership compares", *base, no_members=True, **kw)
+    run_variant("no seq_part", *base, no_seqpart=True, **kw)
+    run_variant("no consistent", *base, no_consistent=True, **kw)
+    run_variant("no dual_at_queue copy", *base, no_carrydaq=True, **kw)
     run_variant("no match+revsort+pssmsort", *base, no_match=True,
-                no_revsort=True, no_pssm_sort=True, dcap_override=dc)
+                no_revsort=True, no_pssm_sort=True, **kw)
 
 
 if __name__ == "__main__":

@@ -10,7 +10,7 @@ import time
 import numpy as np
 
 
-def build_batch():
+def build_batch(scale: str = "trna"):
     import jax.numpy as jnp
 
     sys.path.insert(0, ".")
@@ -24,9 +24,13 @@ def build_batch():
 
     _apply_platform_env()
     params = Parameters(in_file="<bench>")
-    store = bench.make_family(n=16)
+    if scale == "16s":
+        store = bench.make_long_family(n=2)
+        la_max = lb_max = 1536
+    else:
+        store = bench.make_family(n=16)
+        la_max = lb_max = 96
     pairs = enumerate_pairs(store)
-    la_max = lb_max = 96
     b = len(pairs)
     go, ge = int(params.gap_open_int), int(params.gap_extend_int)
     subopt = int(f2i(params.suboptimal_diff))
@@ -51,7 +55,7 @@ def build_batch():
     ]
     dcap = 3072
     ne = la_max * lb_max
-    bp = 128
+    bp = 1 if scale == "16s" else 128
     seq_score = np.zeros((bp, la_max, lb_max), np.int32)
     act = np.zeros((bp, la_max, lb_max), bool)
     dual_l = np.zeros((bp, dcap), np.int32)

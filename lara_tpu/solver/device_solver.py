@@ -71,7 +71,16 @@ def _use_pallas() -> bool:
 
 def _align_dchunk(la_max: int, lb_max: int) -> int:
     """dchunk grows with the diagonal count so long pairs amortize the
-    per-grid-step overhead (see PROFILE.md)."""
+    per-grid-step overhead (see PROFILE.md).  LARA_DCHUNK overrides for
+    profiling experiments."""
+    import os
+
+    override = os.environ.get("LARA_DCHUNK")
+    if override:
+        return int(override)
+    # measured at 16S scale (benchmark/PROFILE.md): dchunk 32 and 128 are
+    # within noise -- the grid-step count is not the long-pair bottleneck --
+    # so stay at 32 (4x smaller unrolled kernel body, faster compiles)
     return 8 if la_max + lb_max <= 512 else 32
 
 
