@@ -179,11 +179,19 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     parser.add_argument("-o", "--out-dir",
                         default=os.path.join(os.path.dirname(__file__), "data"))
+    parser.add_argument("--low-identity", action="store_true",
+                        help="aggressive divergence (pair_mut=0.85, "
+                             "loop_mut=0.6, 6 indels): the low-identity "
+                             "regime where structure-aware alignment should "
+                             "beat sequence-only (the LaRA paper's target "
+                             "regime, <60%% identity BRAliBase families)")
     args = parser.parse_args(argv)
+    kwargs = (dict(pair_mut=0.85, loop_mut=0.6, indels=6)
+              if args.low_identity else {})
     for name, n_seqs, seed in FAMILIES:
         fam_dir = os.path.join(args.out_dir, name)
         os.makedirs(fam_dir, exist_ok=True)
-        names, aligned, cons = make_family(name, n_seqs, seed)
+        names, aligned, cons = make_family(name, n_seqs, seed, **kwargs)
         with open(os.path.join(fam_dir, "unaligned.fa"), "w") as handle:
             for member, row in zip(names, aligned):
                 handle.write(f">{member}\n{row.replace('-', '')}\n")

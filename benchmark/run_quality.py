@@ -37,6 +37,10 @@ def main():
         ["benchmark/data_holdout", *base])
     run("hold-out families, sequence-only (balance=0)",
         ["benchmark/data_holdout", *base, "--balance", "0"])
+    run("low-identity families (~35% id), structure-aware",
+        ["benchmark/data_lowid", *base])
+    run("low-identity families (~35% id), sequence-only (balance=0)",
+        ["benchmark/data_lowid", *base, "--balance", "0"])
 
 
 if __name__ == "__main__":
