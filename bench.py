@@ -250,6 +250,14 @@ def main():
             store16s, enumerate_pairs(store16s), 1)
         scales.append(row16s)
 
+        # --- 16S-scale batched (the TPU throughput story for long pairs:
+        # per-diagonal kernel cost is batch-insensitive, so B pairs cost
+        # ~the wall-clock of one -- benchmark/PROFILE.md 16S section) ---
+        store16b = make_long_family(n=4, length=1530, seed=47)
+        row16b, _, _ = run_scale(store16b, params, "16S-1530nt-batch6",
+                                 parity_pairs=0)
+        scales.append(row16b)
+
         import jax
 
         out = {

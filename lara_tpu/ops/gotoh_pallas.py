@@ -44,10 +44,9 @@ def _make_kernel(dchunk: int):
         """``dchunk`` anti-diagonal steps for one batch block per grid step
         (amortizes grid/DMA overhead over several tiny diagonal updates).
 
-        st_ref: [6, BB, W] scratch -- rows 0-2: M/H/V wavefronts at d-1
-        (unshifted); rows 3-5: the same stack shifted by one (reused as the
-        d-2 shifted operands of the next diagonal).  fin_ref: [3, BB, W]
-        scratch -- one-hot captured terminal M/H/V values.
+        st_ref: [6, BB, W] scratch -- M/H/V wavefronts at d-1 (rows 0-2) and
+        d-2 (rows 3-5).  fin_ref: [3, BB, W] scratch -- one-hot captured
+        terminal M/H/V values.
         """
         dblk = pl.program_id(1)
         num_blocks = pl.num_programs(1)
@@ -56,47 +55,46 @@ def _make_kernel(dchunk: int):
 
         _, bb, w = skewed_ref.shape
         col = jax.lax.broadcasted_iota(I32, (bb, w), dimension=1)
-        col3 = jax.lax.broadcasted_iota(I32, (3, bb, w), dimension=2)
 
         @pl.when(dblk == 0)
         def _init():
             st_ref[...] = jnp.full((6, bb, w), NEG_INF, I32)
             fin_ref[...] = jnp.full((3, bb, w), NEG_INF, I32)
 
-        # stacked wavefronts: one [3, BB, W] roll per diagonal replaces six
-        # row rolls (per-op overhead dominates at bb=1 -- see PROFILE.md).
-        # s1 = (M, H, V) at d-1 unshifted; s2s = the SAME stack shifted,
-        # carried one step so it serves as the d-2 shifted stack for free.
-        s1 = st_ref[0:3]
-        s2s = st_ref[3:6]
+        m1 = st_ref[0]
+        h1 = st_ref[1]
+        v1 = st_ref[2]
+        m2 = st_ref[3]
+        h2 = st_ref[4]
+        v2 = st_ref[5]
         la = la_ref[...]  # [BB, 1]
         lb = lb_ref[...]
         fin0 = fin_ref[0]
         fin1 = fin_ref[1]
         fin2 = fin_ref[2]
 
+        def shift(x):
+            # offset +1 along the diagonal axis (i-1 lookup), NEG_INF fill
+            return jnp.where(col == 0, NEG_INF, pltpu.roll(x, shift=1, axis=1))
+
         for t in range(dchunk):
             d = dblk * dchunk + t
             t_row = skewed_ref[t]
 
-            # one shift of the whole d-1 stack (i-1 lookup, NEG_INF fill)
-            s1s = jnp.where(col3 == 0, NEG_INF, pltpu.roll(s1, shift=1, axis=2))
-
-            # M from diagonal d-2 at i-1 (shifted stack carried from last step)
-            m2s, h2s, v2s = s2s[0], s2s[1], s2s[2]
+            # M from diagonal d-2 at i-1
+            m2s, h2s, v2s = shift(m2), shift(h2), shift(v2)
             best_prev = jnp.maximum(jnp.maximum(m2s, h2s), v2s)
             m_new = best_prev + t_row
             mdir = jnp.where(m2s == best_prev, MAT,
                              jnp.where(h2s == best_prev, HOR, VER))
 
             # H from diagonal d-1 at same i (cell (i, j-1)); prefer extension
-            m1, h1, v1 = s1[0], s1[1], s1[2]
             hh, hm, hv = h1 + ge, m1 + go, v1 + go
             h_new = jnp.maximum(jnp.maximum(hh, hm), hv)
             hdir = jnp.where(hh == h_new, HOR, jnp.where(hm == h_new, MAT, VER))
 
             # V from diagonal d-1 at i-1 (cell (i-1, j)); prefer extension
-            m1s, h1s, v1s = s1s[0], s1s[1], s1s[2]
+            m1s, h1s, v1s = shift(m1), shift(h1), shift(v1)
             vv, vm, vh = v1s + ge, m1s + go, h1s + go
             v_new = jnp.maximum(jnp.maximum(vv, vm), vh)
             vdir = jnp.where(vv == v_new, VER, jnp.where(vm == v_new, MAT, HOR))
@@ -119,14 +117,15 @@ def _make_kernel(dchunk: int):
             fin1 = jnp.where(sel, h_new, fin1)
             fin2 = jnp.where(sel, v_new, fin2)
 
-            # carry: next step's d-2 shifted stack is exactly this step's
-            # shifted d-1 stack (border overrides were already applied when
-            # s1 was built last step, so s1s is the corrected shift)
-            s2s = s1s
-            s1 = jnp.stack([m_new, h_new, v_new])
+            m2, h2, v2 = m1, h1, v1
+            m1, h1, v1 = m_new, h_new, v_new
 
-        st_ref[0:3] = s1
-        st_ref[3:6] = s2s
+        st_ref[0] = m1
+        st_ref[1] = h1
+        st_ref[2] = v1
+        st_ref[3] = m2
+        st_ref[4] = h2
+        st_ref[5] = v2
         fin_ref[0] = fin0
         fin_ref[1] = fin1
         fin_ref[2] = fin2
