@@ -453,6 +453,9 @@ def solve_batch_chunk(
         # magnitude slower than VPU compare streams on TPU).  Edge-major
         # l_in feeds the subgradients; the queue-ordered copies feed the
         # matching candidate mask directly (no reordering) ----
+        # (a single stacked [B, D+2*CW, S] compare was measured WORSE --
+        # 1.69 vs 1.59 ms/iter: the three separate compare-reduces fuse
+        # into adjacent consumers, the merged one does not)
         l_in = jnp.any(
             model.dual_l[:, :, None] == slot_edge[:, None, :], axis=2)
         l_in_q = jnp.any(
