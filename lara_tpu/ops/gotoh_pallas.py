@@ -197,8 +197,9 @@ def _make_traceback_kernel(dchunk: int, num_blocks: int):
             st_eff = jnp.where(cur_i == 0, HOR, jnp.where(cur_j == 0, VER, state))
             onehot = col == cur_i
             # one stacked reduce extracts the direction code and the seq
-            # score of the current cell together (two full-width reduces
-            # were ~2x the per-step cost at bb=1)
+            # score of the current cell together (measured end-to-end
+            # neutral vs two separate reduces -- kept for the smaller
+            # kernel body, benchmark/PROFILE.md)
             picked = jnp.sum(
                 jnp.where(onehot[None], jnp.stack([dirs_ref[s], sseq_ref[s]]),
                           0), axis=2, keepdims=True)       # [2, BB, 1]

@@ -77,7 +77,10 @@ def _align_dchunk(la_max: int, lb_max: int) -> int:
 
     override = os.environ.get("LARA_DCHUNK")
     if override:
-        return int(override)
+        value = int(override)
+        if value <= 0:
+            raise ValueError(f"LARA_DCHUNK must be a positive int, got {override!r}")
+        return value
     # measured at 16S scale (benchmark/PROFILE.md): dchunk 32 and 128 are
     # within noise -- the grid-step count is not the long-pair bottleneck --
     # so stay at 32 (4x smaller unrolled kernel body, faster compiles)
@@ -331,8 +334,9 @@ def solve_batch_chunk(
     if e_cap > 0:
         # MXU grid placement: compact the <= e_cap run starts to the front
         # (static sort key), then place values with an exact one-hot matmul
-        # (each grid cell receives at most one contribution, and the values
-        # are split into 16-bit halves, so f32 accumulation is exact)
+        # (each grid cell receives at most one contribution; values are split
+        # into five 7-bit limbs as native int8 MXU operands with int32
+        # accumulation -- see the placement in the loop body below)
         n_starts = jnp.sum(is_start, axis=1).astype(I32)
         start_rank = jnp.cumsum(is_start.astype(I32), axis=1) - 1
         compact_key = jnp.where(is_start, start_rank, d + iota_d)
