@@ -48,3 +48,32 @@ def test_full_depth_device_matches_mirror():
     assert res.best_lower == g["best_lower"]
     assert res.best_upper == g["best_upper"]
     assert [list(c) for c in res.columns] == [list(c) for c in g["columns"]]
+
+
+@pytest.mark.skipif(not os.environ.get("LARA_SLOW"),
+                    reason="full-depth 16S mirror run (set LARA_SLOW=1)")
+def test_full_depth_16s_native_matches_mirror():
+    """Native C++ baseline vs NumPy mirror at 16S scale, FULL depth.
+
+    Closes the chain behind bench.py's 16S gate: bench.py pins the 500-iter
+    device trajectory against the native baseline on TPU hardware; this test
+    pins that same native baseline against the executable-spec mirror at the
+    same scale and depth (the mirror is minutes-slow, hence LARA_SLOW).
+    """
+    import bench
+    from lara_tpu.native import baseline as native_baseline
+    from lara_tpu.params import Parameters
+    from lara_tpu.solver import reference_driver
+
+    try:
+        native_baseline._load()
+    except Exception:
+        pytest.skip("no native toolchain")
+    store = bench.make_long_family(n=2, length=1530, seed=47)
+    params = Parameters(in_file="<bench>")
+    nat = native_baseline.solve_pair(store[0], store[1], params, (0, 1))
+    mir = reference_driver.solve_pair(store[0], store[1], params, (0, 1))
+    assert nat.iterations == mir.iterations
+    assert nat.best_lower == mir.best_lower
+    assert nat.best_upper == mir.best_upper
+    assert nat.columns == mir.columns
