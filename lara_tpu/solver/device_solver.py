@@ -69,6 +69,20 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_mega() -> bool:
+    """Fused per-iteration Mosaic kernels (:mod:`mega_pallas`) on TPU.
+    LARA_NO_MEGA=1 falls back to the XLA iteration body;
+    LARA_MEGA_INTERPRET=1 forces the mega path in Pallas interpret mode on
+    CPU (parity tests)."""
+    import os
+
+    if os.environ.get("LARA_NO_MEGA") or os.environ.get("LARA_NO_PALLAS"):
+        return False
+    if os.environ.get("LARA_MEGA_INTERPRET"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _align_dchunk(la_max: int, lb_max: int) -> int:
     """dchunk grows with the diagonal count so long pairs amortize the
     per-grid-step overhead (see PROFILE.md).  LARA_DCHUNK overrides for
@@ -267,13 +281,26 @@ def solve_batch(
     d = model.dual_l.shape[1]
     carry = _init_carry(b, d, la_max, step_factor0, num_iterations)
     total = 0
+    # the fused path holds [BB, NE]-wide arrays VMEM-resident for the
+    # placement butterfly, so it is gated to tRNA-scale grids; larger
+    # buckets stay on the XLA body (whose cost is DP-dominated there anyway,
+    # benchmark/PROFILE.md 16S section)
+    mega = _use_mega() and 1 <= lookahead <= 8 and la_max * lb_max <= 16384
+    interp = jax.default_backend() != "tpu"
     pending_flag = None  # any-lane-active flag of the PREVIOUS chunk
     while total < num_iterations:
-        carry = solve_batch_chunk(
-            model, carry, go, ge, la_max, lb_max,
-            min(chunk, num_iterations - total), max_nondecr, lookahead,
-            scan_steps, e_cap,
-        )
+        if mega:
+            carry = solve_batch_chunk_mega(
+                model, carry, go, ge, la_max, lb_max,
+                min(chunk, num_iterations - total), max_nondecr, lookahead,
+                scan_steps, interpret=interp,
+            )
+        else:
+            carry = solve_batch_chunk(
+                model, carry, go, ge, la_max, lb_max,
+                min(chunk, num_iterations - total), max_nondecr, lookahead,
+                scan_steps, e_cap,
+            )
         total += chunk
         # read the flag one chunk late: the next dispatch is already queued
         # when the device->host sync happens, so the tunnel round trip
@@ -561,6 +588,140 @@ def solve_batch_chunk(
 
     _, final = jax.lax.while_loop(cond, body, (I32(0), carry))
     return final
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("la_max", "lb_max", "max_steps", "max_nondecr",
+                     "lookahead", "scan_steps", "interpret"),
+    donate_argnames=("carry",),
+)
+def solve_batch_chunk_mega(
+    model: BatchModel,
+    carry: "_Carry",
+    go,
+    ge,
+    la_max: int,
+    lb_max: int,
+    max_steps: int,
+    max_nondecr: int,
+    lookahead: int,
+    scan_steps: int = 0,
+    interpret: bool = False,
+) -> "_Carry":
+    """Fused-kernel variant of :func:`solve_batch_chunk`: the whole
+    bookkeeping pipeline runs inside two Mosaic kernels per iteration
+    (:mod:`lara_tpu.solver.mega_pallas`), leaving only the DP kernel pair
+    and the skew gather outside.  Bit-identical to the XLA body (fuzzed in
+    ``tests/test_mega.py``)."""
+    from lara_tpu.ops.gotoh_pallas import (align_pssm_batch_pallas,
+                                           prepare_skewed_seq)
+    from lara_tpu.solver import mega_pallas
+
+    b, ne = model.seq_score.shape
+    d = model.dual_l.shape[1]
+    go = I32(go)
+    ge = I32(ge)
+    full_depth = max(1, (d - 1).bit_length())
+    steps = full_depth if scan_steps <= 0 else min(scan_steps, full_depth)
+    ew = max(ne, d)
+    wp = ((la_max + 127) // 128) * 128
+
+    # ---- loop-invariant precomputation ----
+    cctrl, ectrl, covered = mega_pallas.build_route_controls(
+        model.dual_l, model.dvalid, ne, ew)
+    iota_d = jnp.broadcast_to(jnp.arange(d, dtype=I32), (b, d))
+    cand_base = (model.dvalid & (model.dual_l < model.dual_m)).astype(I32)
+    _, lq_s, mq_s, wq_s, candq_base = jax.lax.sort(
+        (model.qrank, model.dual_l, model.dual_m, 2 * model.sscore,
+         cand_base), dimension=1, num_keys=1)
+    cw = max(128, d // 2)
+    ckey = jnp.where(candq_base != 0, iota_d, d + iota_d)
+    _, lq_c, mq_c, wq_c = jax.lax.sort(
+        (ckey, lq_s, mq_s, wq_s), dimension=1, num_keys=1)
+    lq_c = lq_c[:, :cw]
+    mq_c = mq_c[:, :cw]
+    wq_c = wq_c[:, :cw]
+    nc_base = jnp.sum(candq_base, axis=1).astype(I32)[:, None]
+    dchunk = _align_dchunk(la_max, lb_max)
+    sseq_skewed = prepare_skewed_seq(
+        model.seq_score.reshape(b, la_max, lb_max), la_max, lb_max,
+        block_b=128, dchunk=dchunk)
+    dvalid_i = model.dvalid.astype(I32)
+    active_i = model.active.astype(I32)
+    covered_i = covered.astype(I32)
+
+    def padw(x, fill):
+        if wp == la_max:
+            return x
+        return jnp.pad(x, ((0, 0), (0, wp - la_max)), constant_values=fill)
+
+    st0 = (
+        I32(0),
+        carry.dual,
+        carry.dual_at_queue,
+        carry.step_factor[:, None],
+        carry.nondecr[:, None],
+        carry.remaining[:, None],
+        carry.lane_active.astype(I32)[:, None],
+        carry.best_lower[:, None],
+        carry.best_upper[:, None],
+        carry.best_score[:, None],
+        padw(carry.best_partner, -1),
+        carry.best_nlines[:, None],
+        padw(carry.best_matched.astype(I32), 0),
+        carry.iterations[:, None],
+    )
+
+    def cond(st):
+        return (st[0] < max_steps) & jnp.any(st[6] != 0)
+
+    def body(st):
+        (k, dual, daq, sf, nondecr, remaining, act_i, bl, bu, bs, bpart,
+         bnl, bmatch, iters) = st
+        pssm = mega_pallas.mega_pssm(
+            model.dual_l, model.sscore, dvalid_i, dual, cctrl, ectrl,
+            covered_i, model.seq_score, active_i,
+            steps=steps, ne=ne, ew=ew, interpret=interpret)
+        tb = align_pssm_batch_pallas(
+            pssm.reshape(b, la_max, lb_max), model.la, model.lb, go, ge,
+            la_max, lb_max, emit_lines=False, block_b=128, dchunk=dchunk,
+            seq_scores_skewed=sseq_skewed, emit_srun=True,
+            interpret=interpret)
+        partner = padw(tb.partner, -1)
+        srun = padw(tb.srun, 0)
+        tbs = jnp.stack(
+            [tb.upper, tb.gap_score, tb.n_lines, tb.seq_part])[:, :, None]
+        outs = mega_pallas.mega_bookkeep(
+            (model.dual_l, model.dual_m, model.sscore, dvalid_i, dual, daq,
+             lq_c, mq_c, wq_c, nc_base, partner, srun, tbs, sf, nondecr,
+             remaining, act_i, bl, bu, bs, bnl, iters, bpart, bmatch),
+            la_max=la_max, lb_max=lb_max, ne=ne, steps=steps,
+            lookahead=lookahead, max_nondecr=max_nondecr,
+            interpret=interpret)
+        (dual2, daq2, sf2, nondecr2, remaining2, act2, bl2, bu2, bs2, bnl2,
+         iters2, bpart2, bmatch2) = outs
+        return (k + 1, dual2, daq2, sf2, nondecr2, remaining2, act2, bl2,
+                bu2, bs2, bpart2, bnl2, bmatch2, iters2)
+
+    st = jax.lax.while_loop(cond, body, st0)
+    (_k, dual, daq, sf, nondecr, remaining, act_i, bl, bu, bs, bpart, bnl,
+     bmatch, iters) = st
+    return _Carry(
+        dual=dual,
+        dual_at_queue=daq,
+        step_factor=sf[:, 0],
+        nondecr=nondecr[:, 0],
+        remaining=remaining[:, 0],
+        lane_active=act_i[:, 0] != 0,
+        best_lower=bl[:, 0],
+        best_upper=bu[:, 0],
+        best_score=bs[:, 0],
+        best_partner=bpart[:, :la_max],
+        best_nlines=bnl[:, 0],
+        best_matched=bmatch[:, :la_max] != 0,
+        iterations=iters[:, 0],
+    )
 
 
 def solve_batch_traced(

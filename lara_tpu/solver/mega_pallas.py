@@ -1,0 +1,460 @@
+"""Fused per-iteration Mosaic kernels for the batched subgradient solver.
+
+The round-3 profile (benchmark/PROFILE.md) shows the XLA iteration body is
+an ~10^2-op pipeline whose fixed op-granularity floor (~0.66 ms at B=128)
+plus two multi-pass HBM sorts dominate the 1.37 ms/iter cost, and estimates
+~0.3 ms for a fully fused iteration.  This module is that fusion: two
+Mosaic kernels replace the whole XLA bookkeeping pipeline, leaving only the
+wavefront DP pair (already Mosaic kernels) and the per-iteration skew
+gather outside.
+
+Per iteration: ``pssm kernel -> skew -> DP forward -> DP traceback (emits
+srun) -> bookkeeping kernel``.
+
+Key re-designs vs :func:`device_solver.solve_batch_chunk` (same bit-exact
+semantics, ``subgradient_solver.hpp:219-331``, ``lagrange.hpp:312-423``):
+
+* **The rev-involution sort is gone.**  ``dual[rev[i]] == -dual[i]`` holds
+  exactly: subgradients come in +/- pairs over mirror entries
+  (``lagrange.hpp:356-363``), all lanes share one float32 step, float32
+  negation is exact and int32 conversion truncates toward zero (an odd
+  function); and ``sscore[rev[i]] == sscore[i]`` (contact weights are
+  symmetric, ``interactions.py``).  The mirror entry's profit is therefore
+  locally computable -- ``rprof = sscore - dual`` -- and "is the mirror a
+  tied queue top" becomes a *slot join* against the per-line placed run
+  maxima that the traceback kernel now emits (``srun``):
+  ``pick_rev[i] = any_a(dual_m[i] == slot_edge[a] & rprof[i] == srun[a])``.
+  ``pick`` itself uses the same join on ``dual_l``/``profits``, so the
+  forward run-top scan is no longer needed for subgradients at all.
+* **The PSSM compaction sort and the one-hot MXU placement are gone.**
+  Run-start aggregates are routed to their grid cells by two monotone
+  butterfly passes with loop-invariant control bits (one int32 word per
+  slot, built once per batch by :func:`build_route_controls`): a stable
+  compaction (masked left rolls, LSB-first) then an expansion to cell
+  positions (masked right rolls, MSB-first).  Both are collision-free
+  because the shift distances are non-decreasing along the stream: at the
+  round for bit k the remaining distances are congruent mod 2^k, so two
+  adjacent elements whose bit-k differ are >= 2^k apart in distance, which
+  preserves strict ordering (LSB-first for left moves; the mirrored
+  argument forces MSB-first for right moves).
+* The segmented suffix-max scan (placement), the exact-top scan (consistent
+  branch), the line-membership joins, the greedy matching rounds (shared
+  with :mod:`matching_pallas`), bound bookkeeping and the float32 dual
+  update all run VMEM-resident inside the kernels.
+
+Bit-equality with the XLA body is fuzzed in ``tests/test_mega.py``
+(interpret mode on CPU) and gated on hardware by the bench parity oracles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lara_tpu.solver.matching_pallas import matching_rounds_values
+from lara_tpu.types import INFINITY, PSSM_INIT
+
+I32 = jnp.int32
+F32 = jnp.float32
+NEG_INF = np.int32(-int(INFINITY))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# in-kernel shifts (lane axis, non-circular with fill)
+# ---------------------------------------------------------------------------
+
+def _kshift_right(x, s: int, fill, col):
+    """out[i] = x[i-s] (fill for i < s)."""
+    return jnp.where(col < s, fill, pltpu.roll(x, shift=s, axis=1))
+
+
+def _kshift_left(x, s: int, fill, col):
+    """out[i] = x[i+s] (fill for i >= w-s)."""
+    w = x.shape[-1]
+    return jnp.where(col >= w - s, fill, pltpu.roll(x, shift=w - s, axis=1))
+
+
+# ---------------------------------------------------------------------------
+# loop-invariant butterfly routing controls (XLA, once per batch)
+# ---------------------------------------------------------------------------
+
+def build_route_controls(dual_l, dvalid, ne: int, ew: int):
+    """Control words for the in-kernel run-start -> grid-cell routing.
+
+    Returns ``(cctrl [B, D] i32, ectrl [B, EW] i32, covered [B, NE] bool)``.
+    ``cctrl`` bit k set at slot i: at compaction round k (LSB-first), slot i
+    receives the element from slot i + 2^k.  ``ectrl`` bit k set at slot i:
+    at expansion round k (rounds iterate MSB-first), slot i receives from
+    slot i - 2^k.  ``covered``: grid cells owning at least one dual entry.
+    The simulation below just replays the collision-free monotone routing
+    (see module docstring) in slot space.
+    """
+    from lara_tpu.solver.device_solver import _shift_left, _shift_right
+
+    b, d = dual_l.shape
+    iota_d = jnp.broadcast_to(jnp.arange(d, dtype=I32), (b, d))
+    prev_l = jnp.concatenate(
+        [jnp.full((b, 1), -1, I32), dual_l[:, :-1]], axis=1)
+    is_start = dvalid & (dual_l != prev_l)
+    rank = jnp.cumsum(is_start.astype(I32), axis=1) - 1
+    n_starts = jnp.sum(is_start.astype(I32), axis=1, keepdims=True)
+
+    occ = is_start
+    dl = jnp.where(is_start, iota_d - rank, 0)
+    cctrl = jnp.zeros((b, d), I32)
+    dlog = max(1, (d - 1).bit_length())
+    for k in range(dlog):
+        s = 1 << k
+        move = occ & (((dl >> k) & 1) == 1)
+        inc = _shift_left(move, s, False)
+        dl = jnp.where(inc, _shift_left(dl, s, 0), dl)
+        occ = inc | (occ & ~move)
+        cctrl = cctrl | (inc.astype(I32) << k)
+
+    # compacted cell ids via the same static sort the e_cap path uses
+    compact_key = jnp.where(is_start, rank, d + iota_d)
+    _, cells_sorted = jax.lax.sort(
+        (compact_key, dual_l), dimension=1, num_keys=1)
+    iota_ew = jnp.broadcast_to(jnp.arange(ew, dtype=I32), (b, ew))
+    if ew > d:
+        cells = jnp.pad(cells_sorted, ((0, 0), (0, ew - d)))
+    else:
+        cells = cells_sorted[:, :ew]
+    occ2 = iota_ew < n_starts
+    dl2 = jnp.where(occ2, cells - iota_ew, 0)
+    ectrl = jnp.zeros((b, ew), I32)
+    ewlog = max(1, (ew - 1).bit_length())
+    for k in reversed(range(ewlog)):
+        s = 1 << k
+        move = occ2 & (((dl2 >> k) & 1) == 1)
+        inc = _shift_right(move, s, False)
+        dl2 = jnp.where(inc, _shift_right(dl2, s, 0), dl2)
+        occ2 = inc | (occ2 & ~move)
+        ectrl = ectrl | (inc.astype(I32) << k)
+
+    lane = jnp.arange(b, dtype=I32)
+    start_dst = jnp.where(is_start, dual_l, ne)
+    covered = jnp.zeros((b, ne), bool).at[lane[:, None], start_dst].set(
+        True, mode="drop", unique_indices=True)
+    return cctrl, ectrl, covered
+
+
+# ---------------------------------------------------------------------------
+# kernel 1: PSSM grid from the current duals
+# ---------------------------------------------------------------------------
+
+def _make_pssm_kernel(steps: int, dlog: int, ewlog: int, ne: int, ew: int):
+    pssm_init = int(PSSM_INIT)
+    neg_inf = int(NEG_INF)
+
+    def _kernel(dual_l_ref, sscore_ref, dvalid_ref, dual_ref, cctrl_ref,
+                ectrl_ref, covered_ref, seq_ref, active_ref, pssm_ref):
+        bb, d = dual_l_ref.shape
+        col_d = jax.lax.broadcasted_iota(I32, (bb, d), dimension=1)
+        col_e = jax.lax.broadcasted_iota(I32, (bb, ew), dimension=1)
+        dv = dvalid_ref[...] != 0
+        dual_l = dual_l_ref[...]
+        profits = jnp.where(dv, sscore_ref[...] + dual_ref[...], neg_inf)
+        prev_l = _kshift_right(dual_l, 1, -1, col_d)
+        is_start = dv & (dual_l != prev_l)
+
+        # suffix max within each run (doubling; run starts end up with the
+        # full-run maximum -- the reference's queue-top profit per edge)
+        bp = profits
+        s = 1
+        for _ in range(steps):
+            same = _kshift_left(dual_l, s, -1, col_d) == dual_l
+            bp = jnp.maximum(
+                bp, jnp.where(same, _kshift_left(bp, s, neg_inf, col_d),
+                              neg_inf))
+            s *= 2
+        v = jnp.where(is_start, bp, 0)
+
+        cctrl = cctrl_ref[...]
+        for k in range(dlog):
+            inc = ((cctrl >> k) & 1) != 0
+            v = jnp.where(inc, _kshift_left(v, 1 << k, 0, col_d), v)
+        if ew > d:
+            v = jnp.concatenate([v, jnp.zeros((bb, ew - d), I32)], axis=1)
+        ectrl = ectrl_ref[...]
+        for k in reversed(range(ewlog)):
+            inc = ((ectrl >> k) & 1) != 0
+            v = jnp.where(inc, _kshift_right(v, 1 << k, 0, col_e), v)
+        placed = jnp.where(covered_ref[...] != 0,
+                           jnp.maximum(v[:, :ne], 0), 0)
+        pssm_ref[...] = jnp.where(active_ref[...] != 0,
+                                  seq_ref[...] + placed, pssm_init)
+
+    return _kernel
+
+
+def mega_pssm(dual_l, sscore, dvalid_i, dual, cctrl, ectrl, covered_i,
+              seq_score, active_i, *, steps: int, ne: int, ew: int,
+              interpret: bool = False):
+    """[B, NE] PSSM grid from the current duals (all inputs int32)."""
+    b, d = dual_l.shape
+    dlog = max(1, (d - 1).bit_length())
+    ewlog = max(1, (ew - 1).bit_length())
+    lane_budget = max(1, (5 * 1024 * 1024) // (4 * (8 * d + 4 * ne + 2 * ew)))
+    bb = min(b, max(8, 1 << (lane_budget.bit_length() - 1)))
+    bb = min(bb, b)
+    bp = _round_up(b, bb)
+
+    def pad(x, fill=0):
+        if bp == b:
+            return x
+        return jnp.pad(x, ((0, bp - b), (0, 0)), constant_values=fill)
+
+    dspec = pl.BlockSpec((bb, d), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    espec = pl.BlockSpec((bb, ew), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((bb, ne), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    pssm = pl.pallas_call(
+        _make_pssm_kernel(steps, dlog, ewlog, ne, ew),
+        grid=(bp // bb,),
+        in_specs=[dspec, dspec, dspec, dspec, dspec, espec, nspec, nspec,
+                  nspec],
+        out_specs=nspec,
+        out_shape=jax.ShapeDtypeStruct((bp, ne), jnp.int32),
+        interpret=interpret,
+    )(pad(dual_l), pad(sscore), pad(dvalid_i), pad(dual), pad(cctrl),
+      pad(ectrl), pad(covered_i), pad(seq_score), pad(active_i))
+    return pssm[:b]
+
+
+# ---------------------------------------------------------------------------
+# kernel 2: whole post-DP bookkeeping + dual update
+# ---------------------------------------------------------------------------
+
+def _make_bookkeep_kernel(la_max: int, lb_max: int, ne: int, steps: int,
+                          lh: int, d: int, cw: int, wp: int):
+    neg_inf = int(NEG_INF)
+
+    def _kernel(params_ref,
+                dual_l_ref, dual_m_ref, sscore_ref, dvalid_ref, dual_ref,
+                daq_ref, lq_ref, mq_ref, wq_ref, nc_ref,
+                partner_ref, srun_ref, tbs_ref,
+                sf_ref, nondecr_ref, remaining_ref, act_ref,
+                bl_ref, bu_ref, bs_ref, bnl_ref, iters_ref,
+                bpart_ref, bmatch_ref,
+                dual_out, daq_out, sf_out, nondecr_out, remaining_out,
+                act_out, bl_out, bu_out, bs_out, bnl_out, iters_out,
+                bpart_out, bmatch_out):
+        bb = dual_l_ref.shape[0]
+        max_nondecr = params_ref[0, 0]
+        col_d = jax.lax.broadcasted_iota(I32, (bb, d), dimension=1)
+        col_cw = jax.lax.broadcasted_iota(I32, (bb, cw), dimension=1)
+        col_wp = jax.lax.broadcasted_iota(I32, (bb, wp), dimension=1)
+
+        dv = dvalid_ref[...] != 0
+        dual_l = dual_l_ref[...]
+        dual_m = dual_m_ref[...]
+        sscore = sscore_ref[...]
+        dual_in = dual_ref[...]
+        act = act_ref[...] != 0                       # [BB, 1]
+        partner = partner_ref[...]                    # [BB, WP]
+        srun = srun_ref[...]
+        upper = tbs_ref[0]                            # [BB, 1]
+        gap = tbs_ref[1]
+        nlines = tbs_ref[2]
+        seq_part = tbs_ref[3]
+        lq = lq_ref[...]
+        mq = mq_ref[...]
+
+        daq_out[...] = jnp.where(act, dual_in, daq_ref[...])
+
+        profits = jnp.where(dv, sscore + dual_in, neg_inf)
+        # mirror entry's profit: dual[rev] == -dual, sscore[rev] == sscore
+        rprof = jnp.where(dv, sscore - dual_in, neg_inf)
+
+        slot_valid = partner >= 0
+        slot_edge = jnp.where(slot_valid, col_wp * lb_max + partner, ne)
+
+        # ---- fused slot joins: membership + tied-top picks (both dirs) ----
+        l_in = jnp.zeros((bb, d), bool)
+        pick = jnp.zeros((bb, d), bool)
+        pickrev = jnp.zeros((bb, d), bool)
+        l_in_q = jnp.zeros((bb, cw), bool)
+        m_in_q = jnp.zeros((bb, cw), bool)
+        for a in range(la_max):
+            se = slot_edge[:, a:a + 1]
+            sr = srun[:, a:a + 1]
+            eq_l = dual_l == se
+            eq_m = dual_m == se
+            l_in = l_in | eq_l
+            pick = pick | (eq_l & (profits == sr))
+            pickrev = pickrev | (eq_m & (rprof == sr))
+            l_in_q = l_in_q | (lq == se)
+            m_in_q = m_in_q | (mq == se)
+        l_in = l_in & dv
+        pick = pick & dv
+        pickrev = pickrev & dv
+
+        # ---- subgradients (lagrange.hpp:343-374) ----
+        sg_pos = pick & ~pickrev
+        sg = sg_pos.astype(I32) - (pickrev & ~pick).astype(I32)
+        count = 2 * jnp.sum(sg_pos.astype(I32), axis=1, keepdims=True)
+        any_sg = count > 0
+
+        # ---- consistent branch (lagrange.hpp:397-409): exact-top scan ----
+        fp, fi = profits, col_d
+        bp_, bi = profits, col_d
+        s = 1
+        for _ in range(steps):
+            same_r = _kshift_right(dual_l, s, -1, col_d) == dual_l
+            same_l = _kshift_left(dual_l, s, -1, col_d) == dual_l
+            cp = jnp.where(same_r, _kshift_right(fp, s, neg_inf, col_d),
+                           neg_inf)
+            ci = jnp.where(same_r, _kshift_right(fi, s, d, col_d), d)
+            take1 = (fp > cp) | ((fp == cp) & (fi <= ci))
+            fp = jnp.where(take1, fp, cp)
+            fi = jnp.where(take1, fi, ci)
+            cp = jnp.where(same_l, _kshift_left(bp_, s, neg_inf, col_d),
+                           neg_inf)
+            ci = jnp.where(same_l, _kshift_left(bi, s, d, col_d), d)
+            take1 = (bp_ > cp) | ((bp_ == cp) & (bi <= ci))
+            bp_ = jnp.where(take1, bp_, cp)
+            bi = jnp.where(take1, bi, ci)
+            s *= 2
+        take1 = (fp > bp_) | ((fp == bp_) & (fi <= bi))
+        run_idx = jnp.where(take1, fi, bi)
+        is_top_exact = dv & (col_d == run_idx)
+        tis = (profits < 0) | ((profits == 0) & (dual_l < dual_m))
+        contrib = is_top_exact & l_in & ~tis
+        consistent_sum = jnp.sum(jnp.where(contrib, sscore, 0), axis=1,
+                                 keepdims=True)
+        mc = jnp.zeros((bb, wp), bool)
+        for a in range(la_max):
+            se = slot_edge[:, a:a + 1]
+            hit = jnp.any(contrib & ((dual_l == se) | (dual_m == se)),
+                          axis=1, keepdims=True)
+            mc = mc | ((col_wp == a) & hit)
+        mc = mc & slot_valid
+
+        # ---- matching branch (lagrange.hpp:380-395), shared rounds body ----
+        cand = (col_cw < nc_ref[...]) & l_in_q & m_in_q & any_sg & act
+        mscore, used = matching_rounds_values(
+            cand, lq, mq, wq_ref[...], slot_edge, lh)
+        struct_part = jnp.where(any_sg, mscore, consistent_sum)
+        lower = seq_part + struct_part + gap
+
+        # ---- best primal tracking (lagrange.hpp:416-421) ----
+        better = act & (lower > bs_ref[...])
+        slot_matched = jnp.where(any_sg, used != 0, mc) & slot_valid
+        bs_out[...] = jnp.where(better, lower, bs_ref[...])
+        bpart_out[...] = jnp.where(better, partner, bpart_ref[...])
+        bnl_out[...] = jnp.where(better, nlines, bnl_ref[...])
+        bmatch_out[...] = jnp.where(better, slot_matched.astype(I32),
+                                    bmatch_ref[...])
+
+        # ---- bound bookkeeping (subgradient_solver.hpp:247-263) ----
+        improved_u = act & (upper < bu_ref[...])
+        improved_l = act & (lower > bl_ref[...])
+        bu = jnp.where(improved_u, upper, bu_ref[...])
+        bl = jnp.where(improved_l, lower, bl_ref[...])
+        nondecr0 = jnp.where(improved_u | improved_l, 0, nondecr_ref[...])
+        halve = act & (nondecr0 >= max_nondecr)
+        sf = jnp.where(halve, sf_ref[...] / F32(2.0), sf_ref[...])
+        nondecr_out[...] = jnp.where(
+            act, jnp.where(halve, 0, nondecr0 + 1), nondecr_ref[...])
+        sf_out[...] = sf
+        bu_out[...] = bu
+        bl_out[...] = bl
+
+        # ---- dual update (subgradient_solver.hpp:265-271) ----
+        step = sf * (bu - bl).astype(F32) / \
+            jnp.maximum(count, 1).astype(F32)
+        upd = act & (sg != 0)
+        new_dual = (dual_in.astype(F32) - step * sg.astype(F32)).astype(I32)
+        dual_out[...] = jnp.where(upd, new_dual, dual_in)
+
+        remaining = jnp.where(act, remaining_ref[...] - 1, remaining_ref[...])
+        remaining_out[...] = remaining
+        done = act & ((bu == bl) | (remaining == 0))
+        act_out[...] = (act & ~done).astype(I32)
+        iters_out[...] = iters_ref[...] + act.astype(I32)
+
+    return _kernel
+
+
+def mega_bookkeep(args, *, la_max: int, lb_max: int, ne: int, steps: int,
+                  lookahead: int, max_nondecr: int, interpret: bool = False):
+    """One fused bookkeeping step.  ``args`` is the input tuple in kernel
+    order (see ``_make_bookkeep_kernel``); all [B, 1]/[B, WP]/[B, D]/[B, CW]
+    arrays int32 except ``sf`` (f32).  Returns the 13 outputs in order."""
+    (dual_l, dual_m, sscore, dvalid_i, dual, daq, lq, mq, wq, nc,
+     partner, srun, tbs, sf, nondecr, remaining, act,
+     bl, bu, bs, bnl, iters, bpart, bmatch) = args
+    b, d = dual_l.shape
+    cw = lq.shape[1]
+    wp = partner.shape[1]
+    lh = max(1, min(int(lookahead), 8))
+    lane_budget = max(1, (5 * 1024 * 1024) //
+                      (4 * (16 * d + 6 * cw + 10 * wp)))
+    bb = min(b, max(8, 1 << (lane_budget.bit_length() - 1)))
+    bp = _round_up(b, bb)
+
+    def pad(x, fill=0):
+        if bp == b:
+            return x
+        return jnp.pad(x, ((0, bp - b), (0, 0)), constant_values=fill)
+
+    def pad3(x):
+        if bp == b:
+            return x
+        return jnp.pad(x, ((0, 0), (0, bp - b), (0, 0)))
+
+    dspec = pl.BlockSpec((bb, d), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((bb, cw), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((bb, wp), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((bb, 1), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((4, bb, 1), lambda g: (0, g, 0),
+                         memory_space=pltpu.VMEM)
+    params = jnp.array([[max_nondecr, 0]], I32)
+
+    outs = pl.pallas_call(
+        _make_bookkeep_kernel(la_max, lb_max, ne, steps, lh, d, cw, wp),
+        grid=(bp // bb,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda g: (0, 0), memory_space=pltpu.SMEM),
+            dspec, dspec, dspec, dspec, dspec, dspec,
+            cspec, cspec, cspec, lspec,
+            wspec, wspec, tspec,
+            lspec, lspec, lspec, lspec,
+            lspec, lspec, lspec, lspec, lspec,
+            wspec, wspec,
+        ],
+        out_specs=[
+            dspec, dspec, lspec, lspec, lspec, lspec, lspec, lspec, lspec,
+            lspec, lspec, wspec, wspec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, d), jnp.int32),
+            jax.ShapeDtypeStruct((bp, d), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((bp, wp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(params, pad(dual_l), pad(dual_m), pad(sscore), pad(dvalid_i),
+      pad(dual), pad(daq), pad(lq), pad(mq), pad(wq), pad(nc),
+      pad(partner, -1), pad(srun), pad3(tbs), pad(sf), pad(nondecr),
+      pad(remaining), pad(act), pad(bl), pad(bu), pad(bs), pad(bnl),
+      pad(iters), pad(bpart, -1), pad(bmatch))
+    return tuple(o[:b] for o in outs)

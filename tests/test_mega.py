@@ -1,0 +1,117 @@
+"""Fused mega-kernel path vs the XLA iteration body: bit-identical.
+
+The mega path (``device_solver.solve_batch_chunk_mega`` +
+``mega_pallas``) re-derives the subgradient picks and the PSSM placement
+by fundamentally different mechanisms (slot joins instead of the rev sort;
+monotone butterfly routing instead of sort + one-hot matmul), so these
+tests pin it against the XLA body end-to-end through the device driver
+(Pallas interpret mode on CPU), plus a direct oracle test of the routing.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from lara_tpu.io.records import InputStorage
+from lara_tpu.params import Parameters
+
+from test_device_solver import write_family
+
+
+def _solve(path, monkeypatch, mega: bool, **kw):
+    import jax
+
+    from lara_tpu.app import enumerate_pairs
+    from lara_tpu.solver import device_driver
+
+    # pin the driver to one device: the conftest's 8 virtual CPU devices
+    # would route through the sharded (XLA solve_batch_traced) path, and the
+    # mega path is the single-device fused chunk
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(jax, "local_devices", lambda *a, **k: [dev0])
+    if mega:
+        monkeypatch.setenv("LARA_MEGA_INTERPRET", "1")
+        monkeypatch.delenv("LARA_NO_MEGA", raising=False)
+    else:
+        monkeypatch.setenv("LARA_NO_MEGA", "1")
+        monkeypatch.delenv("LARA_MEGA_INTERPRET", raising=False)
+    params = Parameters(in_file=path, **kw)
+    store = InputStorage(in_file=path)
+    pairs = enumerate_pairs(store)
+    return list(device_driver.solve_all(store, pairs, params))
+
+
+@pytest.mark.parametrize("seed,kw", [
+    (3, {}),
+    (11, {"num_iterations": 60}),
+    (7, {"library_score_is_linear": True, "library_score_min": 0,
+         "library_score_max": 100}),
+])
+def test_mega_matches_xla_body(tmp_path, monkeypatch, seed, kw):
+    path = write_family(tmp_path, n=3, seed=seed)
+    ref = _solve(path, monkeypatch, mega=False, **kw)
+    got = _solve(path, monkeypatch, mega=True, **kw)
+    assert len(ref) == len(got)
+    for r, g in zip(ref, got):
+        assert g.seq_indices == r.seq_indices
+        assert g.iterations == r.iterations
+        assert g.best_lower == r.best_lower
+        assert g.best_upper == r.best_upper
+        assert g.columns == r.columns
+
+
+def test_route_controls_and_pssm_kernel_oracle():
+    """Random edge-major run structures through the butterfly routing vs a
+    NumPy scatter oracle (placement semantics of lagrange.hpp:305-309)."""
+    import jax.numpy as jnp
+
+    from lara_tpu.solver import mega_pallas
+    from lara_tpu.types import INFINITY, PSSM_INIT
+
+    rng = np.random.default_rng(5)
+    b, la, lb = 3, 16, 24
+    ne = la * lb
+    d = 256
+    neg = -int(INFINITY)
+    dual_l = np.zeros((b, d), np.int32)
+    dvalid = np.zeros((b, d), bool)
+    sscore = rng.integers(-5000, 5000, (b, d)).astype(np.int32)
+    dual = rng.integers(-3000, 3000, (b, d)).astype(np.int32)
+    max_run = 1
+    for k in range(b):
+        n_entries = int(rng.integers(1, d))
+        cells = np.sort(rng.choice(ne, size=rng.integers(1, min(ne, 96)),
+                                   replace=False))
+        runs = rng.integers(1, 9, size=len(cells))
+        ids = np.repeat(cells, runs)[:n_entries]
+        dual_l[k, :len(ids)] = ids
+        dvalid[k, :len(ids)] = True
+        dual[k, len(ids):] = 0
+        if len(ids):
+            max_run = max(max_run, int(np.unique(ids, return_counts=True)[1].max()))
+    seq_score = rng.integers(-2000, 2000, (b, ne)).astype(np.int32)
+    active = rng.random((b, ne)) < 0.7
+
+    exp = np.full((b, ne), int(PSSM_INIT), np.int64)
+    for k in range(b):
+        mpp = np.full(ne, neg, np.int64)
+        for i in range(d):
+            if dvalid[k, i]:
+                p = int(sscore[k, i]) + int(dual[k, i])
+                mpp[dual_l[k, i]] = max(mpp[dual_l[k, i]], p)
+        placed = np.where(mpp > neg, np.maximum(mpp, 0), 0)
+        exp[k] = np.where(active[k], seq_score[k].astype(np.int64) + placed,
+                          int(PSSM_INIT))
+
+    ew = max(ne, d)
+    cctrl, ectrl, covered = mega_pallas.build_route_controls(
+        jnp.asarray(dual_l), jnp.asarray(dvalid), ne, ew)
+    steps = max(1, (max_run - 1).bit_length())
+    pssm = mega_pallas.mega_pssm(
+        jnp.asarray(dual_l), jnp.asarray(sscore),
+        jnp.asarray(dvalid).astype(jnp.int32), jnp.asarray(dual),
+        cctrl, ectrl, covered.astype(jnp.int32), jnp.asarray(seq_score),
+        jnp.asarray(active).astype(jnp.int32),
+        steps=steps, ne=ne, ew=ew, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pssm).astype(np.int64), exp)
