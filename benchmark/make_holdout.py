@@ -122,17 +122,33 @@ def make_family(name: str, n_seqs: int, length: int, seed: int,
     for ins in all_inserts:
         for col, s in ins.items():
             max_ins[col] = max(max_ins.get(col, 0), len(s))
-    names, aligned = [], []
+    names, aligned, structures = [], [], []
     for k, (out, ins) in enumerate(members):
         row = []
+        pos_of = {}   # ancestor col -> 0-based member position (if survived)
+        n_chars = 0
         for col in range(length):
             if col in max_ins:
                 mine = ins.get(col, "")
                 row.append(mine + "-" * (max_ins[col] - len(mine)))
+                n_chars += len(mine)
+            if out[col]:
+                pos_of[col] = n_chars
+                n_chars += 1
             row.append(out[col] if out[col] else "-")
         names.append(f"{name}_{k + 1}")
         aligned.append("".join(row))
-    return names, aligned
+        # the member's TRUE structure: ancestor pairs whose both columns
+        # survived, in member coordinates (nested by construction, so
+        # dot-bracket representable; decayed stems keep their pairs -- the
+        # structural homology is the truth even where bases mismatch)
+        struct = ["."] * n_chars
+        for (i, j) in pairs:
+            if i in pos_of and j in pos_of:
+                struct[pos_of[i]] = "("
+                struct[pos_of[j]] = ")"
+        structures.append("".join(struct))
+    return names, aligned, structures
 
 
 FAMILIES = [
@@ -154,14 +170,22 @@ def main(argv=None) -> int:
     for name, n_seqs, length, seed in FAMILIES:
         fam_dir = os.path.join(args.out_dir, name)
         os.makedirs(fam_dir, exist_ok=True)
-        names, aligned = make_family(name, n_seqs, length, seed,
-                                     **specs.get(name, {}))
+        names, aligned, structures = make_family(name, n_seqs, length, seed,
+                                                 **specs.get(name, {}))
         with open(os.path.join(fam_dir, "unaligned.fa"), "w") as handle:
             for member, row in zip(names, aligned):
                 handle.write(f">{member}\n{row.replace('-', '')}\n")
         with open(os.path.join(fam_dir, "reference.fa"), "w") as handle:
             for member, row in zip(names, aligned):
                 handle.write(f">{member}\n{row}\n")
+        # the generator's ground-truth structures as solver input (fixed
+        # edges): pipeline --truth-input separates predictor-induced from
+        # solver-induced quality loss (round-3 verdict item 3a)
+        with open(os.path.join(fam_dir, "truth.dbn"), "w") as handle:
+            for member, row, st in zip(names, aligned, structures):
+                seq = row.replace("-", "")
+                assert len(seq) == len(st), (member, len(seq), len(st))
+                handle.write(f">{member}\n{seq}\n{st}\n")
         print(f"{name}: {n_seqs} seqs, {len(aligned[0])} columns -> {fam_dir}")
     return 0
 

@@ -54,11 +54,23 @@ def run_family(name, unaligned, reference, out_dir, args):
     lib_file = os.path.join(out_dir, f"{name}.lib")
     msa_file = os.path.join(out_dir, f"{name}.msa.fa")
 
+    in_file = unaligned
+    predict = args.predict
+    if args.truth_input:
+        # ground-truth condition: the generator's true structures as fixed
+        # edges (no predictor in the loop -- separates predictor-induced
+        # from solver-induced quality loss)
+        truth = os.path.join(os.path.dirname(unaligned), "truth.dbn")
+        if not os.path.exists(truth):
+            raise SystemExit(f"--truth-input: {truth} missing "
+                             "(regenerate with make_holdout.py)")
+        in_file = truth
+        predict = None
     t0 = time.time()
     params = Parameters(
-        in_file=unaligned,
+        in_file=in_file,
         out_file=lib_file,
-        predict=args.predict,
+        predict=predict,
         num_iterations=args.numiter,
         balance=args.balance,
     )
@@ -124,6 +136,10 @@ def main(argv=None) -> int:
     parser.add_argument("--with-null", action="store_true",
                         help="also score a column-shuffled null of each MSA "
                              "(the no-signal SPS floor)")
+    parser.add_argument("--truth-input", action="store_true",
+                        help="solve from <family>/truth.dbn (the generator's "
+                             "true structures as fixed edges) instead of the "
+                             "predictor")
     args = parser.parse_args(argv)
 
     if args.t_coffee and not shutil.which("t_coffee"):

@@ -168,10 +168,6 @@ class Traceback(NamedTuple):
     # per-line seq-score sum, only when the Pallas traceback was handed the
     # seq-score grid (the XLA path leaves it None and the solver reduces)
     seq_part: jax.Array | None = None
-    # placed structural bonus (pssm - seq_score) at each matched line's cell,
-    # dense per position slot [B, LA_MAX]; only emitted by the Pallas
-    # traceback under emit_srun (consumed by the mega bookkeeping kernel)
-    srun: jax.Array | None = None
 
 
 @functools.partial(jax.jit, static_argnames=("la_max", "lb_max"))

@@ -109,7 +109,10 @@ def _make_kernel(dchunk: int):
             v_new = jnp.where(left, jnp.where(d == 0, NEG_INF, bg),
                               jnp.where(top, NEG_INF, v_new))
 
-            dirs_ref[t] = mdir | (hdir << 2) | (vdir << 4)
+            # int8 direction codes (6 bits): the dirs tensor is written and
+            # re-read every iteration, and the body is HBM-bound -- int8
+            # quarters that traffic vs int32
+            dirs_ref[t] = (mdir | (hdir << 2) | (vdir << 4)).astype(jnp.int8)
 
             # capture terminal cell (la, lb) on its diagonal
             sel = (col == la) & (d == la + lb)
@@ -139,15 +142,9 @@ def _make_kernel(dchunk: int):
     return _kernel
 
 
-def _make_traceback_kernel(dchunk: int, num_blocks: int,
-                           emit_srun: bool = False):
-    def _kernel(params_ref, dirs_ref, sseq_ref, *rest):
-        if emit_srun:
-            (psk_ref, finals_ref, la_ref, lb_ref, partner_ref, srun_ref,
-             scalars_ref, st_ref, pa_ref, sr_ref) = rest
-        else:
-            (finals_ref, la_ref, lb_ref, partner_ref, scalars_ref, st_ref,
-             pa_ref) = rest
+def _make_traceback_kernel(dchunk: int, num_blocks: int):
+    def _kernel(params_ref, dirs_ref, sseq_ref, finals_ref, la_ref, lb_ref,
+                partner_ref, scalars_ref, st_ref, pa_ref):
         """Reverse diagonal sweep: each grid step walks ``dchunk`` diagonals
         of the traceback for one batch block.  The per-lane walker state is
         scalar-per-lane vectors ([BB, 1]); the current cell is addressed by
@@ -185,8 +182,6 @@ def _make_traceback_kernel(dchunk: int, num_blocks: int,
             st_ref[5] = upper
             st_ref[6] = jnp.zeros((bb, 1), I32)  # seq-score sum over lines
             pa_ref[...] = jnp.full((bb, w), -1, I32)
-            if emit_srun:
-                sr_ref[...] = jnp.zeros((bb, w), I32)
 
         cur_d = st_ref[0]
         cur_i = st_ref[1]
@@ -195,7 +190,6 @@ def _make_traceback_kernel(dchunk: int, num_blocks: int,
         cnt = st_ref[4]
         seq = st_ref[6]
         partner = pa_ref[...]
-        srun = sr_ref[...] if emit_srun else None
 
         dblk = num_blocks - 1 - t
         for s in reversed(range(dchunk)):
@@ -209,12 +203,10 @@ def _make_traceback_kernel(dchunk: int, num_blocks: int,
             # score of the current cell together (measured end-to-end
             # neutral vs two separate reduces -- kept for the smaller
             # kernel body, benchmark/PROFILE.md)
-            rows = [dirs_ref[s], sseq_ref[s]]
-            if emit_srun:
-                rows.append(psk_ref[s])
             picked = jnp.sum(
-                jnp.where(onehot[None], jnp.stack(rows),
-                          0), axis=2, keepdims=True)       # [2-3, BB, 1]
+                jnp.where(onehot[None],
+                          jnp.stack([dirs_ref[s].astype(I32), sseq_ref[s]]),
+                          0), axis=2, keepdims=True)       # [2, BB, 1]
             code = picked[0]
             mdir = code & 3
             hdir = (code >> 2) & 3
@@ -227,12 +219,6 @@ def _make_traceback_kernel(dchunk: int, num_blocks: int,
             partner = jnp.where(rec, cur_j - 1, partner)
             cnt = cnt + is_m.astype(I32)
             seq = seq + jnp.where(is_m, picked[1], 0)
-            if emit_srun:
-                # placed structural bonus at the matched cell: the DP input
-                # (pssm = seq_score + placed at active cells) minus the seq
-                # stream -- consumed by the fused bookkeeping kernel's
-                # pick/pick_rev joins (mega_pallas.py)
-                srun = jnp.where(rec, picked[2] - picked[1], srun)
 
             gap_h = jnp.where(pred == HOR, ge, go)
             gap_v = jnp.where(pred == VER, ge, go)
@@ -252,8 +238,6 @@ def _make_traceback_kernel(dchunk: int, num_blocks: int,
         st_ref[4] = cnt
         st_ref[6] = seq
         pa_ref[...] = partner
-        if emit_srun:
-            sr_ref[...] = srun
 
         @pl.when(t == num_blocks - 1)
         def _emit():
@@ -262,8 +246,6 @@ def _make_traceback_kernel(dchunk: int, num_blocks: int,
             scalars_ref[1] = gap
             scalars_ref[2] = cnt
             scalars_ref[3] = seq
-            if emit_srun:
-                srun_ref[...] = srun
 
     return _kernel
 
@@ -274,7 +256,7 @@ def gotoh_scan_pallas(skewed, la, lb, go, ge, block_b: int = 64,
     """Wavefront DP over pre-skewed scores.
 
     skewed: [D, B, W] int32 diagonal-major cell scores (gotoh.skew_scores).
-    Returns (final_m, final_h, final_v [B] int32, dirs [Dp, B, W] int32 with
+    Returns (final_m, final_h, final_v [B] int32, dirs [Dp, B, W] int8 with
     Dp = D rounded up to ``dchunk``; rows beyond D are padding).
     """
     num_diag, b, width = skewed.shape
@@ -309,7 +291,7 @@ def gotoh_scan_pallas(skewed, la, lb, go, ge, block_b: int = 64,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((dp, bp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((dp, bp, wp), jnp.int8),
             jax.ShapeDtypeStruct((3, bp, 1), jnp.int32),
         ],
         scratch_shapes=[
@@ -357,13 +339,12 @@ def prepare_skewed_seq(seq_scores, la_max: int, lb_max: int,
 
 @functools.partial(
     jax.jit, static_argnames=("la_max", "lb_max", "block_b", "dchunk",
-                              "interpret", "emit_lines", "emit_srun")
+                              "interpret", "emit_lines")
 )
 def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
                             block_b: int = 64, dchunk: int = 8,
                             interpret: bool = False, emit_lines: bool = True,
-                            seq_scores=None, seq_scores_skewed=None,
-                            emit_srun: bool = False):
+                            seq_scores=None, seq_scores_skewed=None):
     """Pallas-backed drop-in for :func:`lara_tpu.ops.gotoh.align_pssm_batch`:
     forward wavefront kernel -> reverse-sweep traceback kernel -> line-list
     compaction (XLA sort).  Padded lanes have la = lb = 0 and trace nothing.
@@ -376,11 +357,6 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
     ``seq_scores_skewed`` is the pre-skewed/padded [dp, bp, wp] form from
     :func:`prepare_skewed_seq` -- pass it from iteration loops so the skew
     gather is not re-run per call.
-    ``emit_srun`` (requires a seq-score stream): the traceback additionally
-    reads the skewed PSSM stream (the forward kernel's own input, already in
-    HBM) and emits ``srun`` [B, LA_MAX] -- the placed structural bonus
-    (pssm - seq) at each matched line's cell, which the mega bookkeeping
-    kernel's pick/pick_rev joins consume (mega_pallas.py).
     """
     from lara_tpu.ops import gotoh
 
@@ -418,7 +394,7 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((dp, bp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((dp, bp, wp), jnp.int8),
             jax.ShapeDtypeStruct((3, bp, 1), jnp.int32),
         ],
         scratch_shapes=[
@@ -443,57 +419,37 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
         sseq = jnp.zeros((dp, bp, wp), I32)
         have_seq = False
 
-    stream_spec = pl.BlockSpec((dchunk, bb, wp),
-                               lambda g, t: (num_blocks - 1 - t, g, 0),
-                               memory_space=pltpu.VMEM)
-    lane_spec = pl.BlockSpec((bb, 1), lambda g, t: (g, 0),
-                             memory_space=pltpu.VMEM)
-    slot_spec = pl.BlockSpec((bb, wp), lambda g, t: (g, 0),
-                             memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec((1, 2), lambda g, t: (0, 0), memory_space=pltpu.SMEM),
-        stream_spec,
-        stream_spec,
-    ]
-    tb_inputs = [params, dirs, sseq]
-    out_specs = [slot_spec]
-    out_shape = [jax.ShapeDtypeStruct((bp, wp), jnp.int32)]
-    scratch = [
-        pltpu.VMEM((8, bb, 1), jnp.int32),
-        pltpu.VMEM((bb, wp), jnp.int32),
-    ]
-    if emit_srun:
-        assert have_seq, "emit_srun requires a seq-score stream"
-        in_specs.insert(3, stream_spec)
-        tb_inputs.insert(3, skewed)  # the forward kernel's own PSSM stream
-        out_specs.append(slot_spec)
-        out_shape.append(jax.ShapeDtypeStruct((bp, wp), jnp.int32))
-        scratch.append(pltpu.VMEM((bb, wp), jnp.int32))
-    in_specs += [
-        pl.BlockSpec((3, bb, 1), lambda g, t: (0, g, 0),
-                     memory_space=pltpu.VMEM),
-        lane_spec,
-        lane_spec,
-    ]
-    tb_inputs += [finals, la_p, lb_p]
-    out_specs.append(pl.BlockSpec((4, bb, 1), lambda g, t: (0, g, 0),
-                                  memory_space=pltpu.VMEM))
-    out_shape.append(jax.ShapeDtypeStruct((4, bp, 1), jnp.int32))
-    outs = pl.pallas_call(
-        _make_traceback_kernel(dchunk, num_blocks, emit_srun=emit_srun),
+    partner, scalars = pl.pallas_call(
+        _make_traceback_kernel(dchunk, num_blocks),
         grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch,
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda g, t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((dchunk, bb, wp),
+                         lambda g, t: (num_blocks - 1 - t, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dchunk, bb, wp),
+                         lambda g, t: (num_blocks - 1 - t, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bb, 1), lambda g, t: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda g, t: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda g, t: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, wp), lambda g, t: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, bb, 1), lambda g, t: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((4, bp, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, bb, 1), jnp.int32),
+            pltpu.VMEM((bb, wp), jnp.int32),
+        ],
         interpret=interpret,
-    )(*tb_inputs)
-    if emit_srun:
-        partner, srun_full, scalars = outs
-        srun = srun_full[:b, :la_max]
-    else:
-        partner, scalars = outs
-        srun = None
+    )(params, dirs, sseq, finals, la_p, lb_p)
 
     partner = partner[:b, :la_max]  # partner[a] = b or -1, a ascending
     upper = scalars[0, :b, 0]
@@ -504,7 +460,7 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
         lines = jnp.zeros((b, 0, 2), I32)
         return gotoh.Traceback(
             upper=upper, lines=lines, n_lines=n_lines, gap_score=gap_score,
-            partner=partner, seq_part=seq_part, srun=srun,
+            partner=partner, seq_part=seq_part,
         )
     # compact the dense partner map to an ordered line list
     valid = partner >= 0
@@ -520,5 +476,5 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
     )
     return gotoh.Traceback(
         upper=upper, lines=lines, n_lines=n_lines, gap_score=gap_score,
-        partner=partner, seq_part=seq_part, srun=srun,
+        partner=partner, seq_part=seq_part,
     )

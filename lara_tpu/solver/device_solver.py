@@ -630,6 +630,9 @@ def solve_batch_chunk_mega(
     # ---- loop-invariant precomputation ----
     cctrl, ectrl, covered = mega_pallas.build_route_controls(
         model.dual_l, model.dvalid, ne, ew)
+    packed_d, packed_ne = mega_pallas.pack_pssm_inputs(
+        model.dual_l, model.dvalid, cctrl, ectrl, covered,
+        model.active, ne)
     iota_d = jnp.broadcast_to(jnp.arange(d, dtype=I32), (b, d))
     cand_base = (model.dvalid & (model.dual_l < model.dual_m)).astype(I32)
     _, lq_s, mq_s, wq_s, candq_base = jax.lax.sort(
@@ -648,8 +651,6 @@ def solve_batch_chunk_mega(
         model.seq_score.reshape(b, la_max, lb_max), la_max, lb_max,
         block_b=128, dchunk=dchunk)
     dvalid_i = model.dvalid.astype(I32)
-    active_i = model.active.astype(I32)
-    covered_i = covered.astype(I32)
 
     def padw(x, fill):
         if wp == la_max:
@@ -680,21 +681,18 @@ def solve_batch_chunk_mega(
         (k, dual, daq, sf, nondecr, remaining, act_i, bl, bu, bs, bpart,
          bnl, bmatch, iters) = st
         pssm = mega_pallas.mega_pssm(
-            model.dual_l, model.sscore, dvalid_i, dual, cctrl, ectrl,
-            covered_i, model.seq_score, active_i,
+            packed_d, model.sscore, dual, packed_ne, model.seq_score,
             steps=steps, ne=ne, ew=ew, interpret=interpret)
         tb = align_pssm_batch_pallas(
             pssm.reshape(b, la_max, lb_max), model.la, model.lb, go, ge,
             la_max, lb_max, emit_lines=False, block_b=128, dchunk=dchunk,
-            seq_scores_skewed=sseq_skewed, emit_srun=True,
-            interpret=interpret)
+            seq_scores_skewed=sseq_skewed, interpret=interpret)
         partner = padw(tb.partner, -1)
-        srun = padw(tb.srun, 0)
         tbs = jnp.stack(
             [tb.upper, tb.gap_score, tb.n_lines, tb.seq_part])[:, :, None]
         outs = mega_pallas.mega_bookkeep(
             (model.dual_l, model.dual_m, model.sscore, dvalid_i, dual, daq,
-             lq_c, mq_c, wq_c, nc_base, partner, srun, tbs, sf, nondecr,
+             lq_c, mq_c, wq_c, nc_base, partner, tbs, sf, nondecr,
              remaining, act_i, bl, bu, bs, bnl, iters, bpart, bmatch),
             la_max=la_max, lb_max=lb_max, ne=ne, steps=steps,
             lookahead=lookahead, max_nondecr=max_nondecr,

@@ -143,11 +143,13 @@ def matching_rounds_values(live, lq, mq, wq, line, lh: int):
             for e_set in range(n_sub):
                 m = mask_e[e_set]
                 c0 = jnp.zeros((bb, 1), I32)
-                found = jnp.zeros((bb, 1), bool)
+                # i32 0/1 accumulator: Mosaic cannot lower bool-dtype array
+                # constants (i8 vectors) into the i1 mask domain
+                found_i = jnp.zeros((bb, 1), I32)
                 for c in range(n_conf):
-                    hit = ~found & ((m & (1 << c)) != 0)
+                    hit = (found_i == 0) & ((m & (1 << c)) != 0)
                     c0 = jnp.where(hit, I32(c), c0)
-                    found = found | hit
+                    found_i = found_i | hit.astype(I32)
                 c0s.append(c0)
                 s_slot = jnp.zeros((bb, 1), I32)
                 l_slot = jnp.zeros((bb, 1), I32)

@@ -8,8 +8,8 @@ Mosaic kernels replace the whole XLA bookkeeping pipeline, leaving only the
 wavefront DP pair (already Mosaic kernels) and the per-iteration skew
 gather outside.
 
-Per iteration: ``pssm kernel -> skew -> DP forward -> DP traceback (emits
-srun) -> bookkeeping kernel``.
+Per iteration: ``pssm kernel -> skew -> DP forward -> DP traceback ->
+bookkeeping kernel``.
 
 Key re-designs vs :func:`device_solver.solve_batch_chunk` (same bit-exact
 semantics, ``subgradient_solver.hpp:219-331``, ``lagrange.hpp:312-423``):
@@ -21,11 +21,12 @@ semantics, ``subgradient_solver.hpp:219-331``, ``lagrange.hpp:312-423``):
   function); and ``sscore[rev[i]] == sscore[i]`` (contact weights are
   symmetric, ``interactions.py``).  The mirror entry's profit is therefore
   locally computable -- ``rprof = sscore - dual`` -- and "is the mirror a
-  tied queue top" becomes a *slot join* against the per-line placed run
-  maxima that the traceback kernel now emits (``srun``):
+  tied queue top" becomes a *slot join*: per line slot the bookkeeping
+  kernel takes the masked max of its own profits over that edge's run (the
+  reference's queue top, ``lagrange.hpp:305-309``) and
   ``pick_rev[i] = any_a(dual_m[i] == slot_edge[a] & rprof[i] == srun[a])``.
-  ``pick`` itself uses the same join on ``dual_l``/``profits``, so the
-  forward run-top scan is no longer needed for subgradients at all.
+  ``pick`` itself uses the same join on ``dual_l``/``profits``, so neither
+  the rev sort nor any cross-kernel run-max plumbing is needed.
 * **The PSSM compaction sort and the one-hot MXU placement are gone.**
   Run-start aggregates are routed to their grid cells by two monotone
   butterfly passes with loop-invariant control bits (one int32 word per
@@ -152,61 +153,95 @@ def build_route_controls(dual_l, dvalid, ne: int, ew: int):
 # kernel 1: PSSM grid from the current duals
 # ---------------------------------------------------------------------------
 
+def pack_pssm_inputs(dual_l, dvalid, cctrl, ectrl, covered, active, ne: int):
+    """Pack the pssm kernel's loop-invariant operands into two int32 words.
+
+    Per-operand DMA issue overhead dominates small kernels on TPU (measured
+    ~1.5 us per operand per grid step), so the five loop-invariant streams
+    collapse to two: ``packed_d`` = dual_l (bits 0-13, ne <= 16384 by the
+    mega gate) | dvalid (bit 14) | cctrl (bits 15+); ``packed_ne`` =
+    covered (bit 0) | active (bit 1) | ectrl (bits 2+).
+    """
+    assert ne <= 16384, "packed dual_l field is 14 bits"
+    packed_d = (dual_l & 0x3FFF) | (dvalid.astype(I32) << 14) | (cctrl << 15)
+    # ectrl may be wider than NE (EW = max(ne, d)); its bits beyond NE are
+    # zero by construction (expansion sources are compacted slots < n_edges
+    # <= ne, targets are cells < ne), so the NE-wide slice is lossless
+    packed_ne = covered.astype(I32) | (active.astype(I32) << 1) \
+        | (ectrl[:, :ne] << 2)
+    return packed_d, packed_ne
+
+
 def _make_pssm_kernel(steps: int, dlog: int, ewlog: int, ne: int, ew: int):
     pssm_init = int(PSSM_INIT)
     neg_inf = int(NEG_INF)
+    assert dlog <= 17 and ewlog <= 30 - 2
 
-    def _kernel(dual_l_ref, sscore_ref, dvalid_ref, dual_ref, cctrl_ref,
-                ectrl_ref, covered_ref, seq_ref, active_ref, pssm_ref):
-        bb, d = dual_l_ref.shape
+    def _kernel(packed_d_ref, sscore_ref, dual_ref, packed_ne_ref, seq_ref,
+                pssm_ref):
+        bb, d = packed_d_ref.shape
         col_d = jax.lax.broadcasted_iota(I32, (bb, d), dimension=1)
         col_e = jax.lax.broadcasted_iota(I32, (bb, ew), dimension=1)
-        dv = dvalid_ref[...] != 0
-        dual_l = dual_l_ref[...]
+        packed_d = packed_d_ref[...]
+        dual_l = packed_d & 0x3FFF
+        dv = ((packed_d >> 14) & 1) != 0
+        cctrl = packed_d >> 15
+        packed_ne = packed_ne_ref[...]
         profits = jnp.where(dv, sscore_ref[...] + dual_ref[...], neg_inf)
-        prev_l = _kshift_right(dual_l, 1, -1, col_d)
-        is_start = dv & (dual_l != prev_l)
+        # run starts: dvalid-masked dual_l differs from the left neighbour
+        # (padding has dual_l == 0 packed, so mask with a sentinel first)
+        dlm = jnp.where(dv, dual_l, -1)
+        prev_l = _kshift_right(dlm, 1, -2, col_d)
+        is_start = dv & (dlm != prev_l)
 
         # suffix max within each run (doubling; run starts end up with the
         # full-run maximum -- the reference's queue-top profit per edge)
         bp = profits
         s = 1
         for _ in range(steps):
-            same = _kshift_left(dual_l, s, -1, col_d) == dual_l
+            same = _kshift_left(dlm, s, -2, col_d) == dlm
             bp = jnp.maximum(
                 bp, jnp.where(same, _kshift_left(bp, s, neg_inf, col_d),
                               neg_inf))
             s *= 2
         v = jnp.where(is_start, bp, 0)
 
-        cctrl = cctrl_ref[...]
         for k in range(dlog):
             inc = ((cctrl >> k) & 1) != 0
             v = jnp.where(inc, _kshift_left(v, 1 << k, 0, col_d), v)
         if ew > d:
             v = jnp.concatenate([v, jnp.zeros((bb, ew - d), I32)], axis=1)
-        ectrl = ectrl_ref[...]
+        ectrl = packed_ne >> 2
+        if ew > ne:  # bits beyond NE are zero by construction (see pack)
+            ectrl = jnp.concatenate(
+                [ectrl, jnp.zeros((bb, ew - ne), I32)], axis=1)
         for k in reversed(range(ewlog)):
             inc = ((ectrl >> k) & 1) != 0
             v = jnp.where(inc, _kshift_right(v, 1 << k, 0, col_e), v)
-        placed = jnp.where(covered_ref[...] != 0,
+        placed = jnp.where((packed_ne & 1) != 0,
                            jnp.maximum(v[:, :ne], 0), 0)
-        pssm_ref[...] = jnp.where(active_ref[...] != 0,
+        pssm_ref[...] = jnp.where((packed_ne & 2) != 0,
                                   seq_ref[...] + placed, pssm_init)
 
     return _kernel
 
 
-def mega_pssm(dual_l, sscore, dvalid_i, dual, cctrl, ectrl, covered_i,
-              seq_score, active_i, *, steps: int, ne: int, ew: int,
-              interpret: bool = False):
-    """[B, NE] PSSM grid from the current duals (all inputs int32)."""
-    b, d = dual_l.shape
+def mega_pssm(packed_d, sscore, dual, packed_ne, seq_score, *, steps: int,
+              ne: int, ew: int, interpret: bool = False):
+    """[B, NE] PSSM grid from the current duals.
+
+    ``packed_d``/``packed_ne`` from :func:`pack_pssm_inputs` (loop-invariant,
+    pack once per batch); ``sscore``/``dual`` [B, D] and ``seq_score``
+    [B, NE] int32.
+    """
+    b, d = packed_d.shape
     dlog = max(1, (d - 1).bit_length())
     ewlog = max(1, (ew - 1).bit_length())
-    lane_budget = max(1, (5 * 1024 * 1024) // (4 * (8 * d + 4 * ne + 2 * ew)))
+    # per-lane VMEM estimate incl. live temporaries (scan carries, the
+    # widened routing workspace and its shifted copies); conservative -- the
+    # Mosaic scoped-vmem limit is a hard 16 MB
+    lane_budget = max(1, (5 * 1024 * 1024) // (4 * (6 * d + 4 * ne + 2 * ew)))
     bb = min(b, max(8, 1 << (lane_budget.bit_length() - 1)))
-    bb = min(bb, b)
     bp = _round_up(b, bb)
 
     def pad(x, fill=0):
@@ -215,18 +250,15 @@ def mega_pssm(dual_l, sscore, dvalid_i, dual, cctrl, ectrl, covered_i,
         return jnp.pad(x, ((0, bp - b), (0, 0)), constant_values=fill)
 
     dspec = pl.BlockSpec((bb, d), lambda g: (g, 0), memory_space=pltpu.VMEM)
-    espec = pl.BlockSpec((bb, ew), lambda g: (g, 0), memory_space=pltpu.VMEM)
     nspec = pl.BlockSpec((bb, ne), lambda g: (g, 0), memory_space=pltpu.VMEM)
     pssm = pl.pallas_call(
         _make_pssm_kernel(steps, dlog, ewlog, ne, ew),
         grid=(bp // bb,),
-        in_specs=[dspec, dspec, dspec, dspec, dspec, espec, nspec, nspec,
-                  nspec],
+        in_specs=[dspec, dspec, dspec, nspec, nspec],
         out_specs=nspec,
         out_shape=jax.ShapeDtypeStruct((bp, ne), jnp.int32),
         interpret=interpret,
-    )(pad(dual_l), pad(sscore), pad(dvalid_i), pad(dual), pad(cctrl),
-      pad(ectrl), pad(covered_i), pad(seq_score), pad(active_i))
+    )(pad(packed_d), pad(sscore), pad(dual), pad(packed_ne), pad(seq_score))
     return pssm[:b]
 
 
@@ -241,7 +273,7 @@ def _make_bookkeep_kernel(la_max: int, lb_max: int, ne: int, steps: int,
     def _kernel(params_ref,
                 dual_l_ref, dual_m_ref, sscore_ref, dvalid_ref, dual_ref,
                 daq_ref, lq_ref, mq_ref, wq_ref, nc_ref,
-                partner_ref, srun_ref, tbs_ref,
+                partner_ref, tbs_ref,
                 sf_ref, nondecr_ref, remaining_ref, act_ref,
                 bl_ref, bu_ref, bs_ref, bnl_ref, iters_ref,
                 bpart_ref, bmatch_ref,
@@ -261,7 +293,6 @@ def _make_bookkeep_kernel(la_max: int, lb_max: int, ne: int, steps: int,
         dual_in = dual_ref[...]
         act = act_ref[...] != 0                       # [BB, 1]
         partner = partner_ref[...]                    # [BB, WP]
-        srun = srun_ref[...]
         upper = tbs_ref[0]                            # [BB, 1]
         gap = tbs_ref[1]
         nlines = tbs_ref[2]
@@ -279,24 +310,36 @@ def _make_bookkeep_kernel(la_max: int, lb_max: int, ne: int, steps: int,
         slot_edge = jnp.where(slot_valid, col_wp * lb_max + partner, ne)
 
         # ---- fused slot joins: membership + tied-top picks (both dirs) ----
-        l_in = jnp.zeros((bb, d), bool)
-        pick = jnp.zeros((bb, d), bool)
-        pickrev = jnp.zeros((bb, d), bool)
-        l_in_q = jnp.zeros((bb, cw), bool)
-        m_in_q = jnp.zeros((bb, cw), bool)
+        # per slot a (a line edge), the run max of that edge's queue is a
+        # masked max over the kernel's own profits -- the reference's
+        # priority-queue top (lagrange.hpp:305-309); an entry is picked iff
+        # its profit ties that max and the max is >= 0 (self-entry profit 0
+        # outranks negative runs).  pick_rev uses the mirror profit
+        # rprof = sscore - dual against the PARTNER edge's run max.
+        # accumulators carry int32 0/1: Mosaic cannot lower bool-dtype array
+        # constants (i8 vectors) into the i1 mask domain
+        l_in_i = jnp.zeros((bb, d), I32)
+        pick_i = jnp.zeros((bb, d), I32)
+        pickrev_i = jnp.zeros((bb, d), I32)
+        l_in_q_i = jnp.zeros((bb, cw), I32)
+        m_in_q_i = jnp.zeros((bb, cw), I32)
         for a in range(la_max):
             se = slot_edge[:, a:a + 1]
-            sr = srun[:, a:a + 1]
             eq_l = dual_l == se
             eq_m = dual_m == se
-            l_in = l_in | eq_l
-            pick = pick | (eq_l & (profits == sr))
-            pickrev = pickrev | (eq_m & (rprof == sr))
-            l_in_q = l_in_q | (lq == se)
-            m_in_q = m_in_q | (mq == se)
-        l_in = l_in & dv
-        pick = pick & dv
-        pickrev = pickrev & dv
+            sr = jnp.max(jnp.where(eq_l, profits, neg_inf), axis=1,
+                         keepdims=True)
+            srok = sr >= 0
+            l_in_i = l_in_i | eq_l.astype(I32)
+            pick_i = pick_i | (eq_l & (profits == sr) & srok).astype(I32)
+            pickrev_i = pickrev_i | (eq_m & (rprof == sr) & srok).astype(I32)
+            l_in_q_i = l_in_q_i | (lq == se).astype(I32)
+            m_in_q_i = m_in_q_i | (mq == se).astype(I32)
+        l_in = (l_in_i != 0) & dv
+        pick = (pick_i != 0) & dv
+        pickrev = (pickrev_i != 0) & dv
+        l_in_q = l_in_q_i != 0
+        m_in_q = m_in_q_i != 0
 
         # ---- subgradients (lagrange.hpp:343-374) ----
         sg_pos = pick & ~pickrev
@@ -331,13 +374,12 @@ def _make_bookkeep_kernel(la_max: int, lb_max: int, ne: int, steps: int,
         contrib = is_top_exact & l_in & ~tis
         consistent_sum = jnp.sum(jnp.where(contrib, sscore, 0), axis=1,
                                  keepdims=True)
-        mc = jnp.zeros((bb, wp), bool)
+        mc_i = jnp.zeros((bb, wp), I32)
         for a in range(la_max):
             se = slot_edge[:, a:a + 1]
             hit = jnp.any(contrib & ((dual_l == se) | (dual_m == se)),
                           axis=1, keepdims=True)
-            mc = mc | ((col_wp == a) & hit)
-        mc = mc & slot_valid
+            mc_i = mc_i | ((col_wp == a) & hit).astype(I32)
 
         # ---- matching branch (lagrange.hpp:380-395), shared rounds body ----
         cand = (col_cw < nc_ref[...]) & l_in_q & m_in_q & any_sg & act
@@ -347,12 +389,16 @@ def _make_bookkeep_kernel(la_max: int, lb_max: int, ne: int, steps: int,
         lower = seq_part + struct_part + gap
 
         # ---- best primal tracking (lagrange.hpp:416-421) ----
+        # (selects stay in int32: Mosaic cannot truncate i8 bool vectors
+        # back into the i1 mask domain)
         better = act & (lower > bs_ref[...])
-        slot_matched = jnp.where(any_sg, used != 0, mc) & slot_valid
+        sm_i = jnp.where(any_sg, used, mc_i)
+        slot_matched_i = jnp.where(slot_valid, sm_i, 0)
+        slot_matched_i = jnp.where(slot_matched_i != 0, 1, 0)
         bs_out[...] = jnp.where(better, lower, bs_ref[...])
         bpart_out[...] = jnp.where(better, partner, bpart_ref[...])
         bnl_out[...] = jnp.where(better, nlines, bnl_ref[...])
-        bmatch_out[...] = jnp.where(better, slot_matched.astype(I32),
+        bmatch_out[...] = jnp.where(better, slot_matched_i,
                                     bmatch_ref[...])
 
         # ---- bound bookkeeping (subgradient_solver.hpp:247-263) ----
@@ -391,14 +437,17 @@ def mega_bookkeep(args, *, la_max: int, lb_max: int, ne: int, steps: int,
     order (see ``_make_bookkeep_kernel``); all [B, 1]/[B, WP]/[B, D]/[B, CW]
     arrays int32 except ``sf`` (f32).  Returns the 13 outputs in order."""
     (dual_l, dual_m, sscore, dvalid_i, dual, daq, lq, mq, wq, nc,
-     partner, srun, tbs, sf, nondecr, remaining, act,
+     partner, tbs, sf, nondecr, remaining, act,
      bl, bu, bs, bnl, iters, bpart, bmatch) = args
     b, d = dual_l.shape
     cw = lq.shape[1]
     wp = partner.shape[1]
     lh = max(1, min(int(lookahead), 8))
+    # conservative per-lane VMEM estimate: the joins, scan carries,
+    # subgradient masks and matching state hold many [BB, D]-wide values
+    # live at once (a 16-lane block measured 17.7 MB scoped vmem at D=2048)
     lane_budget = max(1, (5 * 1024 * 1024) //
-                      (4 * (16 * d + 6 * cw + 10 * wp)))
+                      (4 * (32 * d + 12 * cw + 16 * wp)))
     bb = min(b, max(8, 1 << (lane_budget.bit_length() - 1)))
     bp = _round_up(b, bb)
 
@@ -427,7 +476,7 @@ def mega_bookkeep(args, *, la_max: int, lb_max: int, ne: int, steps: int,
             pl.BlockSpec((1, 2), lambda g: (0, 0), memory_space=pltpu.SMEM),
             dspec, dspec, dspec, dspec, dspec, dspec,
             cspec, cspec, cspec, lspec,
-            wspec, wspec, tspec,
+            wspec, tspec,
             lspec, lspec, lspec, lspec,
             lspec, lspec, lspec, lspec, lspec,
             wspec, wspec,
@@ -454,7 +503,7 @@ def mega_bookkeep(args, *, la_max: int, lb_max: int, ne: int, steps: int,
         interpret=interpret,
     )(params, pad(dual_l), pad(dual_m), pad(sscore), pad(dvalid_i),
       pad(dual), pad(daq), pad(lq), pad(mq), pad(wq), pad(nc),
-      pad(partner, -1), pad(srun), pad3(tbs), pad(sf), pad(nondecr),
+      pad(partner, -1), pad3(tbs), pad(sf), pad(nondecr),
       pad(remaining), pad(act), pad(bl), pad(bu), pad(bs), pad(bnl),
       pad(iters), pad(bpart, -1), pad(bmatch))
     return tuple(o[:b] for o in outs)

@@ -61,7 +61,11 @@ def test_mega_matches_xla_body(tmp_path, monkeypatch, seed, kw):
         assert g.columns == r.columns
 
 
-def test_route_controls_and_pssm_kernel_oracle():
+@pytest.mark.parametrize("la,lb,d", [
+    (16, 24, 256),   # ew == ne
+    (8, 16, 256),    # d > ne: the expansion workspace is wider than the grid
+])
+def test_route_controls_and_pssm_kernel_oracle(la, lb, d):
     """Random edge-major run structures through the butterfly routing vs a
     NumPy scatter oracle (placement semantics of lagrange.hpp:305-309)."""
     import jax.numpy as jnp
@@ -70,9 +74,8 @@ def test_route_controls_and_pssm_kernel_oracle():
     from lara_tpu.types import INFINITY, PSSM_INIT
 
     rng = np.random.default_rng(5)
-    b, la, lb = 3, 16, 24
+    b = 3
     ne = la * lb
-    d = 256
     neg = -int(INFINITY)
     dual_l = np.zeros((b, d), np.int32)
     dvalid = np.zeros((b, d), bool)
@@ -107,11 +110,11 @@ def test_route_controls_and_pssm_kernel_oracle():
     ew = max(ne, d)
     cctrl, ectrl, covered = mega_pallas.build_route_controls(
         jnp.asarray(dual_l), jnp.asarray(dvalid), ne, ew)
+    packed_d, packed_ne = mega_pallas.pack_pssm_inputs(
+        jnp.asarray(dual_l), jnp.asarray(dvalid), cctrl, ectrl, covered,
+        jnp.asarray(active), ne)
     steps = max(1, (max_run - 1).bit_length())
     pssm = mega_pallas.mega_pssm(
-        jnp.asarray(dual_l), jnp.asarray(sscore),
-        jnp.asarray(dvalid).astype(jnp.int32), jnp.asarray(dual),
-        cctrl, ectrl, covered.astype(jnp.int32), jnp.asarray(seq_score),
-        jnp.asarray(active).astype(jnp.int32),
-        steps=steps, ne=ne, ew=ew, interpret=True)
+        packed_d, jnp.asarray(sscore), jnp.asarray(dual), packed_ne,
+        jnp.asarray(seq_score), steps=steps, ne=ne, ew=ew, interpret=True)
     np.testing.assert_array_equal(np.asarray(pssm).astype(np.int64), exp)
