@@ -220,10 +220,19 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
 
 
 @functools.lru_cache(maxsize=64)
-def _get_unpack_model(ne: int, d: int, la_max: int, lb_max: int):
+def _get_unpack_model(ne: int, d: int, la_max: int, lb_max: int,
+                      packed: bool, nk: int = 5):
     """Jitted slicer: one uploaded int32 buffer -> BatchModel device arrays
     (the per-array uploads each paid a tunnel round trip).  lru-cached per
-    shape class: rebuilding the jit object per chunk retraced+recompiled."""
+    shape class: rebuilding the jit object per chunk retraced+recompiled.
+
+    ``packed`` (requires ne, d <= 32768): the upload carries sequences
+    instead of the dense seq-score grid (recomputed on device by an exact
+    one-hot MXU lookup -- f32 products of int-valued operands < 2^24 are
+    exact, and the single scale multiply + trunc matches the host's
+    float32 math bit-for-bit) and the dual table's (l, m) / (rev, qrank)
+    columns share one word each.  Measured: the upload drops ~10 MB ->
+    ~3.4 MB at bench scale, most of the 0.16 s model-packing phase."""
     import jax
     import jax.numpy as jnp
 
@@ -231,27 +240,66 @@ def _get_unpack_model(ne: int, d: int, la_max: int, lb_max: int):
 
     nw = ne // 32
 
+    if not packed:
+        @jax.jit
+        def unpack(buf, submat_f):
+            seq_score = buf[:, :ne]
+            words = jax.lax.bitcast_convert_type(
+                buf[:, ne:ne + nw], jnp.uint32)
+            active = ((words[:, :, None]
+                       >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])
+                      & 1).astype(bool).reshape(buf.shape[0], ne)
+            off = ne + nw
+            dual_l = buf[:, off:off + d]
+            dual_m = buf[:, off + d:off + 2 * d]
+            sscore = buf[:, off + 2 * d:off + 3 * d]
+            rev = buf[:, off + 3 * d:off + 4 * d]
+            qrank = buf[:, off + 4 * d:off + 5 * d]
+            la = buf[:, off + 5 * d]
+            lb = buf[:, off + 5 * d + 1]
+            nd = buf[:, off + 5 * d + 2]
+            dvalid = jnp.arange(d, dtype=jnp.int32)[None, :] < nd[:, None]
+            return device_solver.BatchModel(
+                seq_score=seq_score, active=active, dual_l=dual_l,
+                dual_m=dual_m, sscore=sscore, rev=rev, dvalid=dvalid,
+                qrank=qrank, la=la, lb=lb)
+
+        return unpack
+
     @jax.jit
-    def unpack(buf):
-        seq_score = buf[:, :ne]
-        words = jax.lax.bitcast_convert_type(
-            buf[:, ne:ne + nw], jnp.uint32)
+    def unpack(buf, submat_f):
+        bp = buf.shape[0]
+        words = jax.lax.bitcast_convert_type(buf[:, :nw], jnp.uint32)
         active = ((words[:, :, None]
                    >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])
-                  & 1).astype(bool).reshape(buf.shape[0], ne)
-        off = ne + nw
-        dual_l = buf[:, off:off + d]
-        dual_m = buf[:, off + d:off + 2 * d]
-        sscore = buf[:, off + 2 * d:off + 3 * d]
-        rev = buf[:, off + 3 * d:off + 4 * d]
-        qrank = buf[:, off + 4 * d:off + 5 * d]
-        la = buf[:, off + 5 * d]
-        lb = buf[:, off + 5 * d + 1]
-        nd = buf[:, off + 5 * d + 2]
+                  & 1).astype(bool).reshape(bp, ne)
+        off = nw
+        lm = buf[:, off:off + d]
+        sscore = buf[:, off + d:off + 2 * d]
+        rq = buf[:, off + 2 * d:off + 3 * d]
+        off += 3 * d
+        sa = buf[:, off:off + la_max]
+        sb = buf[:, off + la_max:off + la_max + lb_max]
+        off += la_max + lb_max
+        scale = jax.lax.bitcast_convert_type(buf[:, off], jnp.float32)
+        la = buf[:, off + 1]
+        lb = buf[:, off + 2]
+        nd = buf[:, off + 3]
+        dual_l = lm >> 15
+        dual_m = lm & 0x7FFF
+        rev = rq >> 15
+        qrank = rq & 0x7FFF
         dvalid = jnp.arange(d, dtype=jnp.int32)[None, :] < nd[:, None]
+        ranks = jnp.arange(nk, dtype=jnp.int32)
+        oh_a = (sa[:, :, None] == ranks).astype(jnp.float32)
+        oh_b = (sb[:, :, None] == ranks).astype(jnp.float32)
+        mat = jnp.einsum("bif,fg,bjg->bij", oh_a, submat_f, oh_b,
+                         preferred_element_type=jnp.float32)
+        seq_score = (scale[:, None, None] * mat).astype(jnp.int32)
         return device_solver.BatchModel(
-            seq_score=seq_score, active=active, dual_l=dual_l, dual_m=dual_m,
-            sscore=sscore, rev=rev, dvalid=dvalid, qrank=qrank, la=la, lb=lb)
+            seq_score=seq_score.reshape(bp, ne), active=active,
+            dual_l=dual_l, dual_m=dual_m, sscore=sscore, rev=rev,
+            dvalid=dvalid, qrank=qrank, la=la, lb=lb)
 
     return unpack
 
@@ -369,10 +417,33 @@ def _solve_models(store, chunk, models, params: Parameters,
             axis=2, dtype=np.uint32).view(np.int32)
         nd = np.array([len(m.dual_l) for m in models] + [0] * (bp - b),
                       np.int32)
-        buf = np.concatenate(
-            [seq_score.reshape(bp, ne), words, dual_l, dual_m, sscore, rev,
-             qrank, las[:, None], lbs[:, None], nd[:, None]], axis=1)
-        batch = _get_unpack_model(ne, dcap, la_max, lb_max)(jnp.asarray(buf))
+        submat_f = jnp.asarray(np.asarray(params.score_matrix),
+                               dtype=jnp.float32)
+        nk = submat_f.shape[0]
+        # bit-packed layout (flat ids and dual indices in 15 bits each):
+        # drops the dense seq-score grid (recomputed on device from the
+        # sequences) and halves the dual-table columns
+        packed = ne <= 32768 and dcap <= 32768
+        if packed:
+            sa = np.full((bp, la_max), nk - 1, np.int32)
+            sb = np.full((bp, lb_max), nk - 1, np.int32)
+            scale_bits = np.zeros(bp, np.float32)
+            for k, m in enumerate(models):
+                sa[k, : m.la] = m.seq_a
+                sb[k, : m.lb] = m.seq_b
+                scale_bits[k] = np.float32(m.scale)
+            buf = np.concatenate(
+                [words, (dual_l << 15) | dual_m, sscore,
+                 (rev << 15) | qrank, sa, sb,
+                 scale_bits.view(np.int32)[:, None], las[:, None],
+                 lbs[:, None], nd[:, None]], axis=1)
+        else:
+            buf = np.concatenate(
+                [seq_score.reshape(bp, ne), words, dual_l, dual_m, sscore,
+                 rev, qrank, las[:, None], lbs[:, None], nd[:, None]],
+                axis=1)
+        batch = _get_unpack_model(ne, dcap, la_max, lb_max, packed, nk)(
+            jnp.asarray(buf), submat_f)
     else:
         batch = device_solver.BatchModel(
             seq_score=jnp.asarray(seq_score.reshape(bp, ne)),

@@ -282,10 +282,12 @@ def solve_batch(
     carry = _init_carry(b, d, la_max, step_factor0, num_iterations)
     total = 0
     # the fused path holds [BB, NE]-wide arrays VMEM-resident for the
-    # placement butterfly, so it is gated to tRNA-scale grids; larger
-    # buckets stay on the XLA body (whose cost is DP-dominated there anyway,
+    # placement butterfly and ~(480*D)-byte/lane bookkeeping state, so it
+    # is gated to tRNA-scale grids and dual capacities; larger buckets stay
+    # on the XLA body (whose cost is DP-dominated there anyway,
     # benchmark/PROFILE.md 16S section)
-    mega = _use_mega() and 1 <= lookahead <= 8 and la_max * lb_max <= 16384
+    mega = (_use_mega() and 1 <= lookahead <= 8
+            and la_max * lb_max <= 16384 and d <= 3072)
     interp = jax.default_backend() != "tpu"
     pending_flag = None  # any-lane-active flag of the PREVIOUS chunk
     while total < num_iterations:

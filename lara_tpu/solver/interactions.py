@@ -51,6 +51,9 @@ class PairModel:
     sscore: np.ndarray     # [D] int32
     rev: np.ndarray        # [D] int32
     qperm: np.ndarray      # [D] int32: queue position -> edge-major index
+    #: float32 sequence-scale factor applied to seq_score (the driver
+    #: re-derives seq_score on device from seq_a/seq_b + this scale)
+    scale: float = 0.0
 
 
 _ADJ_CACHE: dict = {}
@@ -173,14 +176,16 @@ def build_pair_model(
             raise AssertionError("native model build failed (asymmetric table)")
         return PairModel(la, lb, seq_a, seq_b, act, seq_score,
                          out_l[:d].copy(), out_m[:d].copy(), out_s[:d].copy(),
-                         out_rev[:d].copy(), out_q[:d].copy())
+                         out_rev[:d].copy(), out_q[:d].copy(),
+                         scale=float(scale))
 
     return _build_pair_model_numpy(rec_a, rec_b, params, act, seq_score,
-                                   seq_a, seq_b, pa, wa, pb, wb)
+                                   seq_a, seq_b, pa, wa, pb, wb, scale)
 
 
 def _build_pair_model_numpy(rec_a, rec_b, params, act, seq_score,
-                            seq_a, seq_b, pa, wa, pb, wb) -> PairModel:
+                            seq_a, seq_b, pa, wa, pb, wb,
+                            scale=0.0) -> PairModel:
     """Vectorized NumPy mirror of the native builder."""
     la, lb = len(seq_a), len(seq_b)
     ka, kb = pa.shape[1], pb.shape[1]
@@ -191,7 +196,8 @@ def _build_pair_model_numpy(rec_a, rec_b, params, act, seq_score,
     if e_count == 0:
         empty = np.zeros(0, dtype=np.int32)
         return PairModel(la, lb, seq_a, seq_b, act, seq_score,
-                         empty, empty, empty, empty, empty)
+                         empty, empty, empty, empty, empty,
+                         scale=float(scale))
 
     # [E, KA, KB] candidate partner coordinates
     a2 = pa[a_ids][:, :, None]                      # [E, KA, 1]
@@ -238,4 +244,5 @@ def _build_pair_model_numpy(rec_a, rec_b, params, act, seq_score,
     qperm = np.lexsort((m_edge, l_edge, -2 * sscore.astype(np.int64))).astype(np.int32)
 
     return PairModel(la, lb, seq_a, seq_b, act, seq_score,
-                     l_edge, m_edge, sscore, rev, qperm)
+                     l_edge, m_edge, sscore, rev, qperm,
+                     scale=float(scale))

@@ -443,12 +443,15 @@ def mega_bookkeep(args, *, la_max: int, lb_max: int, ne: int, steps: int,
     cw = lq.shape[1]
     wp = partner.shape[1]
     lh = max(1, min(int(lookahead), 8))
-    # conservative per-lane VMEM estimate: the joins, scan carries,
-    # subgradient masks and matching state hold many [BB, D]-wide values
-    # live at once (a 16-lane block measured 17.7 MB scoped vmem at D=2048)
-    lane_budget = max(1, (5 * 1024 * 1024) //
-                      (4 * (32 * d + 12 * cw + 16 * wp)))
+    # empirical per-lane VMEM model fitted to Mosaic's measured scoped
+    # allocations (it keeps far more live than the dataflow suggests):
+    # 17.7 MB at bb=16/D=2048 and 18.8 MB at bb=8/D=5120 both fit
+    # ~(480*d + 160*cw) bytes per lane; budget against a 13 MB ceiling
+    # (the hard scoped-vmem limit is 16 MB)
+    per_lane = 480 * d + 160 * cw + 64 * wp
+    lane_budget = max(1, (13 * 1024 * 1024) // per_lane)
     bb = min(b, max(8, 1 << (lane_budget.bit_length() - 1)))
+    # callers gate the mega path at d <= 3072 so bb=8 always fits
     bp = _round_up(b, bb)
 
     def pad(x, fill=0):

@@ -59,6 +59,27 @@ def test_mega_matches_xla_body(tmp_path, monkeypatch, seed, kw):
         assert g.best_lower == r.best_lower
         assert g.best_upper == r.best_upper
         assert g.columns == r.columns
+    if seed == 3:
+        # pin the single-device driver (bit-packed upload + device-side
+        # seq-score rebuild) against the scalar mirror: mega and the XLA
+        # body share the upload path, so this catches a bug both would
+        # reproduce identically
+        from lara_tpu.io.records import InputStorage
+        from lara_tpu.solver import reference_driver
+
+        store = InputStorage(in_file=path)
+        params = Parameters(in_file=path, **kw)
+        for r in ref:
+            ia, ib = r.seq_indices
+            # mirror contract: rec_a is the longer sequence and seq_indices
+            # name (rec_a, rec_b) in that order
+            if len(store[ib].sequence) > len(store[ia].sequence):
+                ia, ib = ib, ia
+            mir = reference_driver.solve_pair(
+                store[ia], store[ib], params, (ia, ib))
+            assert r.columns == mir.columns
+            assert r.best_lower == mir.best_lower
+            assert r.best_upper == mir.best_upper
 
 
 @pytest.mark.parametrize("la,lb,d", [
