@@ -152,13 +152,17 @@ def run(params: Parameters) -> OutputLibrary:
     log(1, "4) Write results...")
     import jax as _jax
 
-    if multihost and _jax.process_index() != 0:
+    if params.prewarm:
+        log(0, "   * --prewarm: compilation cache primed for these input "
+               "shapes; no output written")
+    elif multihost and _jax.process_index() != 0:
         log(1, "   * non-zero host: process 0 writes the library")
     else:
         with timing.phase("write results"):
             outlib.print(params.out_file if params.out_file else None)
 
-    if params.msa_file and (not multihost or _jax.process_index() == 0):
+    if params.msa_file and not params.prewarm \
+            and (not multihost or _jax.process_index() == 0):
         from lara_tpu import msa as msa_mod
 
         log(1, "5) Assemble multiple alignment...")

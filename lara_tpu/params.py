@@ -79,6 +79,7 @@ class Parameters:
     backend: str = "device"
     precise_bpp: bool = False
     msa_file: str = ""
+    prewarm: bool = False
 
     # derived (filled in __post_init__)
     score_matrix: np.ndarray = None  # type: ignore[assignment]
@@ -170,6 +171,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="Additionally assemble a multiple alignment from the "
                              "pairwise library (native t_coffee -lib equivalent) and "
                              "write it as aligned fasta to FILE.")
+    parser.add_argument("--prewarm", action="store_true",
+                        help="Run the full solve for the given input but write no "
+                             "output: compiles every program for this input's shape "
+                             "classes into the persistent compilation cache, so "
+                             "subsequent real runs start warm.")
     return parser
 
 
@@ -205,5 +211,6 @@ def parse_args(argv=None) -> Parameters:
         predict=args.predict,
         backend=args.backend,
         precise_bpp=args.precise_bpp,
+        prewarm=args.prewarm,
         msa_file=args.msa,
     )

@@ -76,3 +76,16 @@ def test_score_matrix_file(tmp_path):
     assert m.shape == (5, 5)
     assert m[0, 0] == int(f2i(2.0))
     assert m[0, 1] == int(f2i(-1.0))
+
+
+def test_prewarm_writes_no_output(tmp_path, capsys):
+    """--prewarm runs the full solve (compiling every program for the
+    input's shape classes into the persistent cache) but writes nothing."""
+    f = tmp_path / "in.dbn"
+    f.write_text(">a\nGGGCAAAAGCCC\n(((......)))\n"
+                 ">b\nGGGCAAAUGCCC\n(((......)))\n")
+    out = tmp_path / "o.lib"
+    rc = cli.main(["-i", str(f), "--prewarm", "-w", str(out)])
+    assert rc in (0, None)
+    assert not out.exists()
+    assert "T-COFFEE" not in capsys.readouterr().out
