@@ -274,9 +274,11 @@ def main():
 
         # --- 16S-scale batched (the TPU throughput story for long pairs:
         # per-diagonal kernel cost is batch-insensitive, so B pairs cost
-        # ~the wall-clock of one -- benchmark/PROFILE.md 16S section) ---
-        store16b = make_long_family(n=4, length=1530, seed=47)
-        row16b, _, _ = run_scale(store16b, params, "16S-1530nt-batch6",
+        # ~the wall-clock of one -- benchmark/PROFILE.md 16S section).
+        # n=8 -> 28 pairs: the round-3 verdict asked for the claim at
+        # B=16-32, not B=6; stays under the driver's HBM guard (~2.7 GB) ---
+        store16b = make_long_family(n=8, length=1530, seed=47)
+        row16b, _, _ = run_scale(store16b, params, "16S-1530nt-batch28",
                                  parity_pairs=0)
         scales.append(row16b)
 

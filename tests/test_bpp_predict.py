@@ -8,11 +8,12 @@ import pytest
 
 from lara_tpu.solver import bpp_predict
 
-PAIR_W = {
-    ("A", "U"): 2.0, ("U", "A"): 2.0,
-    ("C", "G"): 3.0, ("G", "C"): 3.0,
-    ("G", "U"): 1.0, ("U", "G"): 1.0,
-}
+_RANK = {"A": 0, "C": 1, "G": 2, "U": 3}
+_PT = {pair: t for t, pair in enumerate(bpp_predict.PAIR_TYPES)}
+
+
+def _ptype(seq, i, j):
+    return _PT.get((_RANK[seq[i]], _RANK[seq[j]]), None)
 
 
 def enumerate_structures(seq):
@@ -31,7 +32,7 @@ def enumerate_structures(seq):
             structures.append(rest)
         # base i paired with some k
         for k in range(i + bpp_predict.MIN_HAIRPIN + 1, j + 1):
-            if (seq[i], seq[k]) not in PAIR_W:
+            if _ptype(seq, i, k) is None:
                 continue
             for inner in rec(i + 1, k - 1):
                 for outer in rec(k + 1, j):
@@ -43,14 +44,21 @@ def enumerate_structures(seq):
 
 
 def brute_force_bpp(seq):
+    """Turner-lite model: per-stack energies + terminal AU/GU penalties at
+    both helix ends; bare pairs carry no energy (bpp_predict docstring)."""
     structures = enumerate_structures(seq)
     weights = []
     for s in structures:
-        logw = sum(PAIR_W[(seq[i], seq[j])] for (i, j) in s)
-        # helix stacking bonus: pair (i, j) whose enclosed neighbour
-        # (i+1, j-1) is also in the structure
-        logw += bpp_predict.STACK_KT * sum(
-            1 for (i, j) in s if (i + 1, j - 1) in s)
+        logw = 0.0
+        for (i, j) in s:
+            p = _ptype(seq, i, j)
+            if (i + 1, j - 1) in s:  # stacked on the enclosed pair
+                logw += float(bpp_predict._STACK_KT_TAB[
+                    p, _ptype(seq, i + 1, j - 1)])
+            else:                    # helix bottom end
+                logw -= float(bpp_predict._TERM_KT[p])
+            if (i - 1, j + 1) not in s:  # helix top end
+                logw -= float(bpp_predict._TERM_KT[p])
         weights.append(math.exp(logw))
     z = sum(weights)
     probs = {}
@@ -83,8 +91,9 @@ def test_logz_matches_brute_force():
     from lara_tpu.scoring.ribosum import encode_rna5
 
     padded = -(-len(seq) // 32) * 32
-    logw = bpp_predict.pair_log_weights(encode_rna5(seq), pad_to=padded)
-    logz, _ = bpp_predict._logz_grad_fn(padded)(logw)
+    logw, logc, term = bpp_predict.energy_terms(encode_rna5(seq),
+                                               pad_to=padded)
+    logz, _ = bpp_predict._logz_grad_fn(padded)(logw, logc, term)
     assert float(logz) == pytest.approx(math.log(z), abs=1e-3)
 
 
@@ -97,11 +106,11 @@ def test_numpy_matches_autodiff_oracle():
     for length in (12, 27):
         seq = "".join("ACGU"[k] for k in rng.integers(0, 4, length))
         enc = encode_rna5(seq)
-        logw = bpp_predict.pair_log_weights(enc, pad_to=32)
-        _, grad = bpp_predict._logz_grad_fn(32)(logw)
+        logw, logc, term = bpp_predict.energy_terms(enc, pad_to=32)
+        _, grad = bpp_predict._logz_grad_fn(32)(logw, logc, term)
         g = np.asarray(grad)[:length, :length]
         p = bpp_predict._bpp_matrix_numpy(
-            bpp_predict.pair_log_weights(enc))[:length, :length]
+            *bpp_predict.energy_terms(enc))[:length, :length]
         assert np.abs(p - g).max() < 2e-4
 
 
