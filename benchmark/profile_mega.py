@@ -4,8 +4,7 @@ Captures the real bench-batch model from the driver, then times:
 
 * the XLA body (`solve_batch_chunk`) at pinned trip counts,
 * the mega body (`solve_batch_chunk_mega`) at pinned trip counts,
-* each mega stage in isolation (fori-loop amortized): the PSSM kernel,
-  the DP pair (fwd + traceback + skew), the bookkeeping kernel.
+* the DP pair in isolation (fori-loop amortized).
 
 One config per process (benchmark/PROFILE.md measurement rules).
 Run on the TPU:  python benchmark/profile_mega.py [--iters N]
@@ -101,29 +100,9 @@ def main():
     # ---- isolated stages (fori-amortized) ----
     from lara_tpu.ops.gotoh_pallas import (align_pssm_batch_pallas,
                                            prepare_skewed_seq)
-    from lara_tpu.solver import mega_pallas
-
-    ew = max(ne, d)
-    steps = cap["scan_steps"] or max(1, (d - 1).bit_length())
-    cctrl, ectrl, covered = jax.jit(
-        mega_pallas.build_route_controls, static_argnums=(2, 3))(
-            m.dual_l, m.dvalid, ne, ew)
-    packed_d, packed_ne = mega_pallas.pack_pssm_inputs(
-        m.dual_l, m.dvalid, cctrl, ectrl, covered, m.active, ne)
-
-    @jax.jit
-    def pssm_only(dual0):
-        def body(_, dual):
-            p = mega_pallas.mega_pssm(
-                packed_d, m.sscore, dual, packed_ne, m.seq_score,
-                steps=steps, ne=ne, ew=ew)
-            return dual + p[:, :d] % 3
-        return jax.lax.fori_loop(0, n_it, body, dual0)
-
-    dual0 = jnp.zeros((b, d), jnp.int32)
-    timed("  pssm kernel only", lambda: pssm_only(dual0))
 
     dchunk = device_solver._align_dchunk(cap["la_max"], cap["lb_max"])
+    dual0 = jnp.zeros((b, d), jnp.int32)
     sseq = prepare_skewed_seq(m.seq_score.reshape(b, cap["la_max"],
                                                   cap["lb_max"]),
                               cap["la_max"], cap["lb_max"], block_b=128,

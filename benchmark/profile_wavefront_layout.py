@@ -42,49 +42,61 @@ def main():
     _apply_platform_env()
     I32 = jnp.int32
 
-    def make_chain(rows: int, cols: int, steps: int, carry_rows: bool):
-        """One kernel executing `steps` dependent wavefront-style updates."""
+    BLOCK = 64  # unrolled dependent steps per in-kernel fori iteration
 
-        def kern(x_ref, out_ref):
+    def make_chain(rows: int, cols: int, carry_rows: bool):
+        """Kernel running reps x BLOCK dependent wavefront-style updates
+        (reps arrives via SMEM, so one compiled kernel covers every trip
+        count -- the steps-slope cancels launch/RTT noise, which dwarfs
+        ms-scale kernels on the tunnel)."""
+
+        def kern(reps_ref, x_ref, out_ref):
             col = jax.lax.broadcasted_iota(I32, (rows, cols), 1)
+
+            def body(_, mh):
+                m, h = mh
+                for t in range(BLOCK):
+                    ms = jnp.where(col == 0, -5,
+                                   pltpu.roll(m, shift=1, axis=1))
+                    if carry_rows:
+                        # cross-row carry: lane 0 of row r takes the last
+                        # lane of row r-1 (the packed layout's extra cost)
+                        last = pltpu.roll(m[:, -1:], shift=1, axis=0)
+                        ms = jnp.where(col == 0, last, ms)
+                    best = jnp.maximum(ms, h)
+                    m_new = best + (t & 3)
+                    h = jnp.maximum(h + 1, m + (-2))
+                    m = jnp.where(col == t % cols, -7, m_new)
+                return m, h
+
             m = x_ref[...]
-            h = m + 1
-            for t in range(steps):
-                ms = jnp.where(col == 0, -5, pltpu.roll(m, shift=1, axis=1))
-                if carry_rows:
-                    # cross-row carry: lane 0 of row r takes the last lane
-                    # of row r-1 (the packed layout's extra cost)
-                    last = pltpu.roll(m[:, -1:], shift=1, axis=0)
-                    ms = jnp.where(col == 0, last, ms)
-                best = jnp.maximum(ms, h)
-                m_new = best + (t & 3)
-                h = jnp.maximum(h + 1, m + (-2))
-                m = jnp.where(col == t % cols, -7, m_new)
+            m, h = jax.lax.fori_loop(0, reps_ref[0, 0], body, (m, m + 1))
             out_ref[...] = m + h
 
         return pl.pallas_call(
             kern,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.int32),
         )
 
-    def slope(rows, cols, carry_rows, lo=2000, hi=6000, reps=3):
+    def slope(rows, cols, carry_rows, lo=400, hi=3600, reps=3):
         x = jnp.ones((rows, cols), jnp.int32)
-        f_lo = jax.jit(make_chain(rows, cols, lo, carry_rows))
-        f_hi = jax.jit(make_chain(rows, cols, hi, carry_rows))
+        f = jax.jit(make_chain(rows, cols, carry_rows))
 
-        def t(f):
-            _ = np.asarray(f(x))[0, 0]  # warm + forced sync
+        def t(n):
+            r = jnp.array([[n]], jnp.int32)
+            _ = np.asarray(f(r, x))[0, 0]  # warm + forced sync
             best = None
             for _ in range(reps):
                 t0 = time.perf_counter()
-                _ = np.asarray(f(x))[0, 0]
+                _ = np.asarray(f(r, x))[0, 0]
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
             return best
 
-        return (t(f_hi) - t(f_lo)) / (hi - lo)
+        return (t(hi) - t(lo)) / ((hi - lo) * BLOCK)
 
     for label, rows, cols, carry in (
         ("[1, 1664] row layout (current B=1)", 1, 1664, False),

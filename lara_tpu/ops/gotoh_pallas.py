@@ -250,6 +250,229 @@ def _make_traceback_kernel(dchunk: int, num_blocks: int):
     return _kernel
 
 
+def _make_stream_kernel(dchunk: int, num_blocks: int, bb: int, wp: int,
+                        single_block: bool):
+    """Forward wavefront with the diagonal sweep as an IN-KERNEL fori loop.
+
+    Round-4 finding (benchmark/PROFILE.md): the complete per-diagonal step
+    body costs ~0.11 us in an in-kernel loop, but ~5 us as a Pallas grid
+    step -- the sequential grid dimension pays enormous per-step overhead
+    on this target.  So the grid is batch-blocks only; the kernel streams
+    the skewed-score blocks HBM->VMEM itself with double-buffered async
+    copies and writes the int8 direction blocks back the same way.
+    """
+
+    def _kernel(params_ref, la_ref, lb_ref, skewed_hbm, finals_ref, dirs_hbm,
+                sk_buf, dirs_buf, in_sems, out_sems):
+        g = pl.program_id(0)
+        go = params_ref[0, 0]
+        ge = params_ref[0, 1]
+        col = jax.lax.broadcasted_iota(I32, (bb, wp), dimension=1)
+        la = la_ref[...]
+        lb = lb_ref[...]
+        neg = jnp.full((bb, wp), NEG_INF, I32)
+
+        def bslice(ref, blk):
+            # single batch block: slicing the (tiled) batch dim by bb < 32
+            # violates DMA tile alignment -- take the whole dim instead
+            if single_block:
+                return ref.at[pl.ds(blk * dchunk, dchunk)]
+            return ref.at[pl.ds(blk * dchunk, dchunk), pl.ds(g * bb, bb), :]
+
+        def load_dma(slot, blk):
+            return pltpu.make_async_copy(
+                bslice(skewed_hbm, blk), sk_buf.at[slot], in_sems.at[slot])
+
+        def store_dma(slot, blk):
+            return pltpu.make_async_copy(
+                dirs_buf.at[slot], bslice(dirs_hbm, blk), out_sems.at[slot])
+
+        load_dma(0, 0).start()
+
+        def shift(x):
+            return jnp.where(col == 0, NEG_INF,
+                             pltpu.roll(x, shift=1, axis=1))
+
+        def body(blk, st):
+            m1, h1, v1, m2, h2, v2, f0, f1, f2 = st
+            slot = jax.lax.rem(blk, 2)
+
+            @pl.when(blk + 1 < num_blocks)
+            def _():
+                load_dma(1 - slot, blk + 1).start()
+
+            @pl.when(blk >= 2)
+            def _():
+                store_dma(slot, blk - 2).wait()
+
+            load_dma(slot, blk).wait()
+            for t in range(dchunk):
+                d = blk * dchunk + t
+                t_row = sk_buf[slot, t]
+
+                m2s, h2s, v2s = shift(m2), shift(h2), shift(v2)
+                best_prev = jnp.maximum(jnp.maximum(m2s, h2s), v2s)
+                m_new = best_prev + t_row
+                mdir = jnp.where(m2s == best_prev, MAT,
+                                 jnp.where(h2s == best_prev, HOR, VER))
+
+                hh, hm, hv = h1 + ge, m1 + go, v1 + go
+                h_new = jnp.maximum(jnp.maximum(hh, hm), hv)
+                hdir = jnp.where(hh == h_new, HOR,
+                                 jnp.where(hm == h_new, MAT, VER))
+
+                m1s, h1s, v1s = shift(m1), shift(h1), shift(v1)
+                vv, vm, vh = v1s + ge, m1s + go, h1s + go
+                v_new = jnp.maximum(jnp.maximum(vv, vm), vh)
+                vdir = jnp.where(vv == v_new, VER,
+                                 jnp.where(vm == v_new, MAT, HOR))
+
+                bg = jnp.where(d == 0, I32(0), go + ge * (d - 1))
+                top = col == 0
+                left = col == d
+                m_new = jnp.where(top | left, bg, m_new)
+                h_new = jnp.where(top, jnp.where(d == 0, NEG_INF, bg),
+                                  jnp.where(left, NEG_INF, h_new))
+                v_new = jnp.where(left, jnp.where(d == 0, NEG_INF, bg),
+                                  jnp.where(top, NEG_INF, v_new))
+
+                dirs_buf[slot, t] = (
+                    mdir | (hdir << 2) | (vdir << 4)).astype(jnp.int8)
+
+                sel = (col == la) & (d == la + lb)
+                f0 = jnp.where(sel, m_new, f0)
+                f1 = jnp.where(sel, h_new, f1)
+                f2 = jnp.where(sel, v_new, f2)
+
+                m2, h2, v2 = m1, h1, v1
+                m1, h1, v1 = m_new, h_new, v_new
+
+            store_dma(slot, blk).start()
+            return (m1, h1, v1, m2, h2, v2, f0, f1, f2)
+
+        st = jax.lax.fori_loop(
+            0, num_blocks, body, (neg,) * 6 + (neg, neg, neg))
+        f0, f1, f2 = st[6], st[7], st[8]
+        store_dma((num_blocks - 1) % 2, num_blocks - 1).wait()
+        if num_blocks >= 2:
+            store_dma((num_blocks - 2) % 2, num_blocks - 2).wait()
+        finals_ref[0] = jnp.max(f0, axis=1, keepdims=True)
+        finals_ref[1] = jnp.max(f1, axis=1, keepdims=True)
+        finals_ref[2] = jnp.max(f2, axis=1, keepdims=True)
+
+    return _kernel
+
+
+def _make_tb_stream_kernel(dchunk: int, num_blocks: int, bb: int, wp: int,
+                           single_block: bool):
+    """Traceback with the reverse diagonal sweep as an IN-KERNEL loop
+    (same rationale as :func:`_make_stream_kernel`); streams the int8
+    direction blocks and the skewed seq-score blocks HBM->VMEM."""
+
+    def _kernel(params_ref, la_ref, lb_ref, finals_ref, dirs_hbm, sseq_hbm,
+                partner_ref, scalars_ref, db_buf, sq_buf, d_sems, s_sems):
+        g = pl.program_id(0)
+        go = params_ref[0, 0]
+        ge = params_ref[0, 1]
+        col = jax.lax.broadcasted_iota(I32, (bb, wp), dimension=1)
+        la = la_ref[...]
+        lb = lb_ref[...]
+
+        def bslice(ref, blk):
+            if single_block:
+                return ref.at[pl.ds(blk * dchunk, dchunk)]
+            return ref.at[pl.ds(blk * dchunk, dchunk), pl.ds(g * bb, bb), :]
+
+        def load_dirs(slot, blk):
+            return pltpu.make_async_copy(
+                bslice(dirs_hbm, blk), db_buf.at[slot], d_sems.at[slot])
+
+        def load_sseq(slot, blk):
+            return pltpu.make_async_copy(
+                bslice(sseq_hbm, blk), sq_buf.at[slot], s_sems.at[slot])
+
+        load_dirs(0, num_blocks - 1).start()
+        load_sseq(0, num_blocks - 1).start()
+
+        fm = finals_ref[0]
+        fh = finals_ref[1]
+        fv = finals_ref[2]
+        upper = jnp.maximum(jnp.maximum(fm, fh), fv)
+        state0 = jnp.where(fm == upper, MAT,
+                           jnp.where(fh == upper, HOR, VER))
+        zero = jnp.zeros((bb, 1), I32)
+
+        def body(k, st):
+            cur_d, cur_i, state, gap, cnt, seq, partner = st
+            blk = num_blocks - 1 - k
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < num_blocks)
+            def _():
+                load_dirs(1 - slot, blk - 1).start()
+                load_sseq(1 - slot, blk - 1).start()
+
+            load_dirs(slot, blk).wait()
+            load_sseq(slot, blk).wait()
+            for s in reversed(range(dchunk)):
+                d = blk * dchunk + s
+                cur_j = cur_d - cur_i
+                act = (cur_d == d) & ((cur_i > 0) | (cur_j > 0))
+                st_eff = jnp.where(cur_i == 0, HOR,
+                                   jnp.where(cur_j == 0, VER, state))
+                onehot = col == cur_i
+                picked = jnp.sum(
+                    jnp.where(onehot[None],
+                              jnp.stack([db_buf[slot, s].astype(I32),
+                                         sq_buf[slot, s]]),
+                              0), axis=2, keepdims=True)   # [2, BB, 1]
+                code = picked[0]
+                mdir = code & 3
+                hdir = (code >> 2) & 3
+                vdir = (code >> 4) & 3
+                pred = jnp.where(st_eff == MAT, mdir,
+                                 jnp.where(st_eff == HOR, hdir, vdir))
+
+                is_m = (st_eff == MAT) & act
+                rec = (col == cur_i - 1) & is_m
+                partner = jnp.where(rec, cur_j - 1, partner)
+                cnt = cnt + is_m.astype(I32)
+                seq = seq + jnp.where(is_m, picked[1], 0)
+
+                gap_h = jnp.where(pred == HOR, ge, go)
+                gap_v = jnp.where(pred == VER, ge, go)
+                gap = gap + jnp.where(act & (st_eff == HOR), gap_h, 0) \
+                          + jnp.where(act & (st_eff == VER), gap_v, 0)
+
+                i_next = jnp.where(st_eff != HOR, cur_i - 1, cur_i)
+                d_next = cur_d - 1 - (st_eff == MAT).astype(I32)
+                cur_i = jnp.where(act, i_next, cur_i)
+                cur_d = jnp.where(act, d_next, cur_d)
+                state = jnp.where(act, pred, state)
+            return (cur_d, cur_i, state, gap, cnt, seq, partner)
+
+        st = jax.lax.fori_loop(
+            0, num_blocks, body,
+            (la + lb, la, state0, zero, zero, zero,
+             jnp.full((bb, wp), -1, I32)))
+        _cd, _ci, _st, gap, cnt, seq, partner = st
+        partner_ref[...] = partner
+        scalars_ref[0] = upper
+        scalars_ref[1] = gap
+        scalars_ref[2] = cnt
+        scalars_ref[3] = seq
+
+    return _kernel
+
+
+def _use_stream() -> bool:
+    """In-kernel diagonal streaming (LARA_DP_GRID=1 forces the legacy
+    grid-stepped kernels)."""
+    import os
+
+    return not os.environ.get("LARA_DP_GRID")
+
+
 @functools.partial(jax.jit, static_argnames=("block_b", "dchunk", "interpret"))
 def gotoh_scan_pallas(skewed, la, lb, go, ge, block_b: int = 64,
                       dchunk: int = 8, interpret: bool = False):
@@ -313,9 +536,16 @@ def align_plan(b: int, la_max: int, lb_max: int, block_b: int = 64,
     pre-skew loop-invariant streams: (bb, bp, wp, dp, num_diag)."""
     num_diag = la_max + lb_max + 1
     wp_est = _round_up(la_max + 1, 128)
-    vmem_cap = max(1, (10 * 1024 * 1024) // (41 * 4 * wp_est))
+    # stream-kernel VMEM per lane: double-buffered skewed blocks
+    # (2*dchunk*wp*4B) + dirs blocks (2*dchunk*wp*1B) + ~12 wavefront/state
+    # rows (48B*wp); budget 10 MB of the 16 MB scoped limit
+    vmem_cap = max(1, (10 * 1024 * 1024) // (wp_est * (10 * dchunk + 48)))
     block_b = min(block_b, 1 << (vmem_cap.bit_length() - 1))
-    bb = max(1, min(block_b, b))
+    # 8-lane floor: DMA slices of the batch dim must respect the sublane
+    # tiling, and per the round-4 layout experiment a [8, W] wavefront step
+    # costs the same as [1, W] (the VPU processes 8 sublanes either way),
+    # so padding tiny batches to 8 lanes is compute-free
+    bb = max(8, min(block_b, b))
     bp = _round_up(b, bb)
     wp = _round_up(la_max + 1, 128)
     dp = _round_up(num_diag, dchunk)
@@ -344,7 +574,8 @@ def prepare_skewed_seq(seq_scores, la_max: int, lb_max: int,
 def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
                             block_b: int = 64, dchunk: int = 8,
                             interpret: bool = False, emit_lines: bool = True,
-                            seq_scores=None, seq_scores_skewed=None):
+                            seq_scores=None, seq_scores_skewed=None,
+                            pssm_skewed=None):
     """Pallas-backed drop-in for :func:`lara_tpu.ops.gotoh.align_pssm_batch`:
     forward wavefront kernel -> reverse-sweep traceback kernel -> line-list
     compaction (XLA sort).  Padded lanes have la = lb = 0 and trace nothing.
@@ -357,52 +588,92 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
     ``seq_scores_skewed`` is the pre-skewed/padded [dp, bp, wp] form from
     :func:`prepare_skewed_seq` -- pass it from iteration loops so the skew
     gather is not re-run per call.
+    ``pssm_skewed``: the DP input already in the padded [dp, bp, wp] skewed
+    layout (then ``pssm`` may be None) -- iteration loops build it with one
+    scatter-max onto a hoisted base instead of a per-iteration skew gather.
     """
     from lara_tpu.ops import gotoh
 
-    b = pssm.shape[0]
+    b = la.shape[0]
     lcap = min(la_max, lb_max)
-    skewed = gotoh.skew_scores(pssm, PSSM_INIT)
-    num_diag = skewed.shape[0]
+    num_diag = la_max + lb_max + 1
     # VMEM-aware batch blocking shared with prepare_skewed_seq callers
     bb, bp, wp, dp, _ = align_plan(b, la_max, lb_max, block_b, dchunk)
-    skewed = jnp.pad(
-        skewed,
-        ((0, dp - num_diag), (0, bp - b), (0, wp - (la_max + 1))),
-        constant_values=NEG_INF,
-    )
+    if pssm_skewed is not None:
+        skewed = pssm_skewed
+        assert skewed.shape == (dp, bp, wp), (skewed.shape, (dp, bp, wp))
+    else:
+        skewed = gotoh.skew_scores(pssm, PSSM_INIT)
+        skewed = jnp.pad(
+            skewed,
+            ((0, dp - num_diag), (0, bp - b), (0, wp - (la_max + 1))),
+            constant_values=NEG_INF,
+        )
     la_p = jnp.zeros((bp, 1), I32).at[:b, 0].set(la.astype(I32))
     lb_p = jnp.zeros((bp, 1), I32).at[:b, 0].set(lb.astype(I32))
     params = jnp.array([[go, ge]], I32)
     num_blocks = dp // dchunk
     grid = (bp // bb, num_blocks)
+    stream = _use_stream()
 
-    dirs, finals = pl.pallas_call(
-        _make_kernel(dchunk),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 2), lambda g, d: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((dchunk, bb, wp), lambda g, d: (d, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 1), lambda g, d: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 1), lambda g, d: (g, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((dchunk, bb, wp), lambda g, d: (d, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, bb, 1), lambda g, d: (0, g, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((dp, bp, wp), jnp.int8),
-            jax.ShapeDtypeStruct((3, bp, 1), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((6, bb, wp), jnp.int32),
-            pltpu.VMEM((3, bb, wp), jnp.int32),
-        ],
-        interpret=interpret,
-    )(params, skewed, la_p, lb_p)
+    if stream:
+        lane_spec = pl.BlockSpec((bb, 1), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM)
+        finals, dirs = pl.pallas_call(
+            _make_stream_kernel(dchunk, num_blocks, bb, wp,
+                                single_block=(bp == bb)),
+            grid=(bp // bb,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda g: (0, 0),
+                             memory_space=pltpu.SMEM),
+                lane_spec,
+                lane_spec,
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((3, bb, 1), lambda g: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((3, bp, 1), jnp.int32),
+                jax.ShapeDtypeStruct((dp, bp, wp), jnp.int8),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, dchunk, bb, wp), jnp.int32),
+                pltpu.VMEM((2, dchunk, bb, wp), jnp.int8),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(params, la_p, lb_p, skewed)
+    else:
+        dirs, finals = pl.pallas_call(
+            _make_kernel(dchunk),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda g, d: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((dchunk, bb, wp), lambda g, d: (d, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, 1), lambda g, d: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, 1), lambda g, d: (g, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((dchunk, bb, wp), lambda g, d: (d, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, bb, 1), lambda g, d: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((dp, bp, wp), jnp.int8),
+                jax.ShapeDtypeStruct((3, bp, 1), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((6, bb, wp), jnp.int32),
+                pltpu.VMEM((3, bb, wp), jnp.int32),
+            ],
+            interpret=interpret,
+        )(params, skewed, la_p, lb_p)
 
     if seq_scores_skewed is not None:
         sseq = seq_scores_skewed
@@ -419,37 +690,73 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
         sseq = jnp.zeros((dp, bp, wp), I32)
         have_seq = False
 
-    partner, scalars = pl.pallas_call(
-        _make_traceback_kernel(dchunk, num_blocks),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 2), lambda g, t: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((dchunk, bb, wp),
-                         lambda g, t: (num_blocks - 1 - t, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dchunk, bb, wp),
-                         lambda g, t: (num_blocks - 1 - t, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, bb, 1), lambda g, t: (0, g, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 1), lambda g, t: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 1), lambda g, t: (g, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((bb, wp), lambda g, t: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, bb, 1), lambda g, t: (0, g, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, wp), jnp.int32),
-            jax.ShapeDtypeStruct((4, bp, 1), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((8, bb, 1), jnp.int32),
-            pltpu.VMEM((bb, wp), jnp.int32),
-        ],
-        interpret=interpret,
-    )(params, dirs, sseq, finals, la_p, lb_p)
+    if stream:
+        lane_spec = pl.BlockSpec((bb, 1), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM)
+        partner, scalars = pl.pallas_call(
+            _make_tb_stream_kernel(dchunk, num_blocks, bb, wp,
+                                   single_block=(bp == bb)),
+            grid=(bp // bb,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda g: (0, 0),
+                             memory_space=pltpu.SMEM),
+                lane_spec,
+                lane_spec,
+                pl.BlockSpec((3, bb, 1), lambda g: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((bb, wp), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, bb, 1), lambda g: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bp, wp), jnp.int32),
+                jax.ShapeDtypeStruct((4, bp, 1), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, dchunk, bb, wp), jnp.int8),
+                pltpu.VMEM((2, dchunk, bb, wp), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(params, la_p, lb_p, finals, dirs, sseq)
+    else:
+        partner, scalars = pl.pallas_call(
+            _make_traceback_kernel(dchunk, num_blocks),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda g, t: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((dchunk, bb, wp),
+                             lambda g, t: (num_blocks - 1 - t, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dchunk, bb, wp),
+                             lambda g, t: (num_blocks - 1 - t, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, bb, 1), lambda g, t: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, 1), lambda g, t: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bb, 1), lambda g, t: (g, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((bb, wp), lambda g, t: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, bb, 1), lambda g, t: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bp, wp), jnp.int32),
+                jax.ShapeDtypeStruct((4, bp, 1), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((8, bb, 1), jnp.int32),
+                pltpu.VMEM((bb, wp), jnp.int32),
+            ],
+            interpret=interpret,
+        )(params, dirs, sseq, finals, la_p, lb_p)
 
     partner = partner[:b, :la_max]  # partner[a] = b or -1, a ascending
     upper = scalars[0, :b, 0]

@@ -60,13 +60,22 @@ F32 = jnp.float32
 NEG_INF = np.int32(-int(INFINITY))  # np scalar: a jnp constant would init the backend at import
 
 
+def _pallas_interpret() -> bool:
+    """LARA_PALLAS_INTERPRET=1 runs the Pallas paths in interpret mode on
+    CPU (CI coverage for the TPU-only branches, e.g. the long-pair
+    scatter-max PSSM)."""
+    import os
+
+    return bool(os.environ.get("LARA_PALLAS_INTERPRET"))
+
+
 def _use_pallas() -> bool:
     """Mosaic wavefront kernel on TPU (LARA_NO_PALLAS=1 disables)."""
     import os
 
     if os.environ.get("LARA_NO_PALLAS"):
         return False
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" or _pallas_interpret()
 
 
 def _use_mega() -> bool:
@@ -113,7 +122,8 @@ def _align(pssm, la, lb, go, ge, la_max: int, lb_max: int, seq_scores=None,
                                        emit_lines=False, block_b=128,
                                        dchunk=_align_dchunk(la_max, lb_max),
                                        seq_scores=seq_scores,
-                                       seq_scores_skewed=seq_scores_skewed)
+                                       seq_scores_skewed=seq_scores_skewed,
+                                       interpret=_pallas_interpret())
     return gotoh.align_pssm_batch(pssm, la, lb, go, ge, la_max, lb_max)
 
 
@@ -295,7 +305,7 @@ def solve_batch(
             carry = solve_batch_chunk_mega(
                 model, carry, go, ge, la_max, lb_max,
                 min(chunk, num_iterations - total), max_nondecr, lookahead,
-                scan_steps, interpret=interp,
+                scan_steps, e_cap, interpret=interp,
             )
         else:
             carry = solve_batch_chunk(
@@ -360,7 +370,12 @@ def solve_batch_chunk(
     # scatter destination per entry: run starts write their grid cell, all
     # others aim out of bounds (dropped); unique within a lane by definition
     start_dst = jnp.where(is_start, model.dual_l, ne)
-    if e_cap > 0:
+    # scatter-max PSSM for long pairs only: the scatter costs ~10 ns/update
+    # (B*D updates/iter), which beats the sort+matmul placement + skew
+    # gather by ~10x at 16S scale but loses at tRNA scale where B*D is 26x
+    # larger than the entry count of one long pair (measured, PROFILE.md)
+    scatter_pssm = _use_pallas() and ne > 16384
+    if e_cap > 0 and not scatter_pssm:
         # MXU grid placement: compact the <= e_cap run starts to the front
         # (static sort key), then place values with an exact one-hot matmul
         # (each grid cell receives at most one contribution; values are split
@@ -407,11 +422,41 @@ def solve_batch_chunk(
     # the traceback kernel's seq-score stream, skewed ONCE (loop-invariant;
     # XLA does not reliably hoist the skew gather at 16S scale)
     if _use_pallas():
-        from lara_tpu.ops.gotoh_pallas import prepare_skewed_seq
+        from lara_tpu.ops.gotoh_pallas import (NEG_INF as DP_NEG, align_plan,
+                                               prepare_skewed_seq)
+        from lara_tpu.ops import gotoh as gotoh_mod
 
+        dchunk_a = _align_dchunk(la_max, lb_max)
         sseq_skewed = prepare_skewed_seq(
             model.seq_score.reshape(b, la_max, lb_max), la_max, lb_max,
-            block_b=128, dchunk=_align_dchunk(la_max, lb_max))
+            block_b=128, dchunk=dchunk_a)
+        if scatter_pssm:
+            # ---- scatter-max PSSM (round 4): the skewed DP input is a
+            # hoisted base (active-masked seq grid, skewed once) plus ONE
+            # int32 scatter-max per iteration.  Every dual entry's target
+            # position in the skewed tensor is loop-invariant, and the
+            # per-edge queue-top aggregation IS the scatter-max: cell value
+            # becomes max(seq + profit over the run, seq) = seq +
+            # max(run max, 0) -- exactly lagrange.hpp:305-309.  This
+            # replaces the per-iteration placement AND the skew gather,
+            # which dominated long-pair iterations (PROFILE.md) ----
+            _bb, bpp, wpp, dpp, _nd = align_plan(b, la_max, lb_max,
+                                                 block_b=128, dchunk=dchunk_a)
+            base_grid = jnp.where(model.active, model.seq_score,
+                                  I32(PSSM_INIT)).reshape(b, la_max, lb_max)
+            base_skewed = jnp.pad(
+                gotoh_mod.skew_scores(base_grid, PSSM_INIT),
+                ((0, dpp - (la_max + lb_max + 1)), (0, bpp - b),
+                 (0, wpp - (la_max + 1))),
+                constant_values=DP_NEG).reshape(-1)
+            ea = model.dual_l // lb_max
+            eb = model.dual_l - ea * lb_max
+            flat_pos = ((ea + eb + 2) * bpp + lane[:, None]) * wpp + (ea + 1)
+            flat_pos = jnp.where(model.dvalid, flat_pos,
+                                 I32(np.iinfo(np.int32).max)).reshape(-1)
+            seq_at_entry = jnp.take_along_axis(
+                model.seq_score,
+                jnp.where(model.dvalid, model.dual_l, 0), axis=1)
     else:
         sseq_skewed = None
 
@@ -429,43 +474,56 @@ def solve_batch_chunk(
         # ---- PSSM grid: place max(run max, 0) of each edge at its cell
         # (run starts carry the full-run aggregate).  The uncovered-cell
         # default is 0, which is exactly what max(mpp, 0) collapses to ----
-        bonus = jnp.maximum(run_p, 0)
-        if e_cap > 0:
-            # one static sort compacts start values; one MXU matmul places
-            # them.  Values split into five 7-bit limbs as int8 operands:
-            # the TPU MXU multiplies int8 natively with exact int32
-            # accumulation (measured ~1.4x the f32-HIGHEST hi/lo split, which
-            # needs 6 bf16 passes), and every grid cell has at most one
-            # contributor, so the sum per cell is a single exact product
-            _, vc = jax.lax.sort(
-                (compact_key, bonus), dimension=1, num_keys=1)
-            vc = vc[:, :e_cap]
-            colval = jnp.concatenate(
-                [colhot * ((vc >> s) & 0x7F).astype(jnp.int8)[:, :, None]
-                 for s in (28, 21, 14, 7, 0)],
-                axis=2)                                      # [B, E, 5*LB]
-            out = jnp.matmul(rowhot, colval,
-                             preferred_element_type=I32)     # [B, LA, 5*LB]
-            placed = (out[:, :, :lb_max] << 28) \
-                | (out[:, :, lb_max:2 * lb_max] << 21) \
-                | (out[:, :, 2 * lb_max:3 * lb_max] << 14) \
-                | (out[:, :, 3 * lb_max:4 * lb_max] << 7) \
-                | out[:, :, 4 * lb_max:]
-            placed = placed.reshape(b, ne)
-        else:
-            placed = jnp.maximum(
-                jnp.full((b, ne), NEG_INF, I32).at[
-                    lane[:, None], start_dst
-                ].set(run_p, mode="drop", unique_indices=True), 0)
-        pssm = jnp.where(
-            model.active, model.seq_score + placed,
-            I32(PSSM_INIT)).reshape(b, la_max, lb_max)
+        if scatter_pssm:
+            # one scatter-max onto the hoisted skewed base (see the hoist
+            # block above); the DP consumes it directly, no grid or skew
+            from lara_tpu.ops.gotoh_pallas import align_pssm_batch_pallas
 
-        # ---- relaxed problem: wavefront DP + traceback.  The traceback
-        # kernel accumulates the per-line seq-score sum in-kernel (the
-        # skewed seq-score stream is loop-invariant; XLA hoists it) ----
-        tb = _align(pssm, model.la, model.lb, go, ge, la_max, lb_max,
-                    seq_scores_skewed=sseq_skewed)
+            cand = jnp.where(model.dvalid, profits + seq_at_entry, NEG_INF)
+            skewed = base_skewed.at[flat_pos].max(
+                cand.reshape(-1), mode="drop")
+            tb = align_pssm_batch_pallas(
+                None, model.la, model.lb, go, ge, la_max, lb_max,
+                emit_lines=False, block_b=128, dchunk=dchunk_a,
+                seq_scores_skewed=sseq_skewed,
+                pssm_skewed=skewed.reshape(dpp, bpp, wpp),
+                interpret=_pallas_interpret())
+        else:
+            bonus = jnp.maximum(run_p, 0)
+            if e_cap > 0:
+                # one static sort compacts start values; one MXU matmul
+                # places them.  Values split into five 7-bit limbs as int8
+                # operands: the TPU MXU multiplies int8 natively with exact
+                # int32 accumulation, and every grid cell has at most one
+                # contributor, so the sum per cell is a single exact product
+                _, vc = jax.lax.sort(
+                    (compact_key, bonus), dimension=1, num_keys=1)
+                vc = vc[:, :e_cap]
+                colval = jnp.concatenate(
+                    [colhot * ((vc >> s) & 0x7F).astype(jnp.int8)[:, :, None]
+                     for s in (28, 21, 14, 7, 0)],
+                    axis=2)                                  # [B, E, 5*LB]
+                out = jnp.matmul(rowhot, colval,
+                                 preferred_element_type=I32)  # [B, LA, 5*LB]
+                placed = (out[:, :, :lb_max] << 28) \
+                    | (out[:, :, lb_max:2 * lb_max] << 21) \
+                    | (out[:, :, 2 * lb_max:3 * lb_max] << 14) \
+                    | (out[:, :, 3 * lb_max:4 * lb_max] << 7) \
+                    | out[:, :, 4 * lb_max:]
+                placed = placed.reshape(b, ne)
+            else:
+                placed = jnp.maximum(
+                    jnp.full((b, ne), NEG_INF, I32).at[
+                        lane[:, None], start_dst
+                    ].set(run_p, mode="drop", unique_indices=True), 0)
+            pssm = jnp.where(
+                model.active, model.seq_score + placed,
+                I32(PSSM_INIT)).reshape(b, la_max, lb_max)
+
+            # ---- relaxed problem: wavefront DP + traceback.  The traceback
+            # kernel accumulates the per-line seq-score sum in-kernel ----
+            tb = _align(pssm, model.la, model.lb, go, ge, la_max, lb_max,
+                        seq_scores_skewed=sseq_skewed)
         upper = tb.upper
         partner = tb.partner                                  # [B, S]
 
@@ -595,7 +653,7 @@ def solve_batch_chunk(
 @functools.partial(
     jax.jit,
     static_argnames=("la_max", "lb_max", "max_steps", "max_nondecr",
-                     "lookahead", "scan_steps", "interpret"),
+                     "lookahead", "scan_steps", "e_cap", "interpret"),
     donate_argnames=("carry",),
 )
 def solve_batch_chunk_mega(
@@ -609,6 +667,7 @@ def solve_batch_chunk_mega(
     max_nondecr: int,
     lookahead: int,
     scan_steps: int = 0,
+    e_cap: int = 0,
     interpret: bool = False,
 ) -> "_Carry":
     """Fused-kernel variant of :func:`solve_batch_chunk`: the whole
@@ -626,16 +685,11 @@ def solve_batch_chunk_mega(
     ge = I32(ge)
     full_depth = max(1, (d - 1).bit_length())
     steps = full_depth if scan_steps <= 0 else min(scan_steps, full_depth)
-    ew = max(ne, d)
     wp = ((la_max + 127) // 128) * 128
 
     # ---- loop-invariant precomputation ----
-    cctrl, ectrl, covered = mega_pallas.build_route_controls(
-        model.dual_l, model.dvalid, ne, ew)
-    packed_d, packed_ne = mega_pallas.pack_pssm_inputs(
-        model.dual_l, model.dvalid, cctrl, ectrl, covered,
-        model.active, ne)
     iota_d = jnp.broadcast_to(jnp.arange(d, dtype=I32), (b, d))
+    lane = jnp.arange(b, dtype=I32)
     cand_base = (model.dvalid & (model.dual_l < model.dual_m)).astype(I32)
     _, lq_s, mq_s, wq_s, candq_base = jax.lax.sort(
         (model.qrank, model.dual_l, model.dual_m, 2 * model.sscore,
@@ -652,6 +706,32 @@ def solve_batch_chunk_mega(
     sseq_skewed = prepare_skewed_seq(
         model.seq_score.reshape(b, la_max, lb_max), la_max, lb_max,
         block_b=128, dchunk=dchunk)
+    # grid PSSM placement invariants (the mega gate keeps ne <= 16384,
+    # where the sort + one-hot-matmul placement beats the long-pair
+    # scatter-max path -- see solve_batch_chunk's scatter_pssm note)
+    same_masks = _same_segment_masks(model.dual_l, steps)
+    prev_l = jnp.concatenate(
+        [jnp.full((b, 1), -1, I32), model.dual_l[:, :-1]], axis=1)
+    is_start = model.dvalid & (model.dual_l != prev_l)
+    start_dst = jnp.where(is_start, model.dual_l, ne)
+    if e_cap > 0:
+        n_starts = jnp.sum(is_start, axis=1).astype(I32)
+        start_rank = jnp.cumsum(is_start.astype(I32), axis=1) - 1
+        compact_key = jnp.where(is_start, start_rank, d + iota_d)
+        _, cells_sorted = jax.lax.sort(
+            (compact_key, model.dual_l), dimension=1, num_keys=1)
+        iota_e = jnp.arange(e_cap, dtype=I32)[None, :]
+        cells = jnp.where(iota_e < n_starts[:, None],
+                          cells_sorted[:, :e_cap], ne)       # [B, E]
+        cell_a = cells // lb_max
+        cell_b = cells - cell_a * lb_max
+        cell_ok = cells < ne
+        rowhot = ((cell_a[:, None, :]
+                   == jnp.arange(la_max, dtype=I32)[None, :, None])
+                  & cell_ok[:, None, :]).astype(jnp.int8)     # [B, LA, E]
+        colhot = ((cell_b[:, :, None]
+                   == jnp.arange(lb_max, dtype=I32)[None, None, :])
+                  & cell_ok[:, :, None]).astype(jnp.int8)     # [B, E, LB]
     dvalid_i = model.dvalid.astype(I32)
 
     def padw(x, fill):
@@ -682,11 +762,35 @@ def solve_batch_chunk_mega(
     def body(st):
         (k, dual, daq, sf, nondecr, remaining, act_i, bl, bu, bs, bpart,
          bnl, bmatch, iters) = st
-        pssm = mega_pallas.mega_pssm(
-            packed_d, model.sscore, dual, packed_ne, model.seq_score,
-            steps=steps, ne=ne, ew=ew, interpret=interpret)
+        profits_m = jnp.where(model.dvalid, model.sscore + dual, NEG_INF)
+        run_p, _ri = _run_top(profits_m, iota_d, same_masks, NEG_INF, I32(d))
+        bonus = jnp.maximum(run_p, 0)
+        if e_cap > 0:
+            _, vc = jax.lax.sort(
+                (compact_key, bonus), dimension=1, num_keys=1)
+            vc = vc[:, :e_cap]
+            colval = jnp.concatenate(
+                [colhot * ((vc >> sh) & 0x7F).astype(jnp.int8)[:, :, None]
+                 for sh in (28, 21, 14, 7, 0)],
+                axis=2)                                      # [B, E, 5*LB]
+            outm = jnp.matmul(rowhot, colval,
+                              preferred_element_type=I32)    # [B, LA, 5*LB]
+            placed = (outm[:, :, :lb_max] << 28) \
+                | (outm[:, :, lb_max:2 * lb_max] << 21) \
+                | (outm[:, :, 2 * lb_max:3 * lb_max] << 14) \
+                | (outm[:, :, 3 * lb_max:4 * lb_max] << 7) \
+                | outm[:, :, 4 * lb_max:]
+            placed = placed.reshape(b, ne)
+        else:
+            placed = jnp.maximum(
+                jnp.full((b, ne), NEG_INF, I32).at[
+                    lane[:, None], start_dst
+                ].set(run_p, mode="drop", unique_indices=True), 0)
+        pssm = jnp.where(
+            model.active, model.seq_score + placed,
+            I32(PSSM_INIT)).reshape(b, la_max, lb_max)
         tb = align_pssm_batch_pallas(
-            pssm.reshape(b, la_max, lb_max), model.la, model.lb, go, ge,
+            pssm, model.la, model.lb, go, ge,
             la_max, lb_max, emit_lines=False, block_b=128, dchunk=dchunk,
             seq_scores_skewed=sseq_skewed, interpret=interpret)
         partner = padw(tb.partner, -1)

@@ -1,14 +1,13 @@
-"""Fused per-iteration Mosaic kernels for the batched subgradient solver.
+"""Fused post-DP bookkeeping Mosaic kernel for the batched subgradient
+solver.
 
-The round-3 profile (benchmark/PROFILE.md) shows the XLA iteration body is
-an ~10^2-op pipeline whose fixed op-granularity floor (~0.66 ms at B=128)
-plus two multi-pass HBM sorts dominate the 1.37 ms/iter cost, and estimates
-~0.3 ms for a fully fused iteration.  This module is that fusion: two
-Mosaic kernels replace the whole XLA bookkeeping pipeline, leaving only the
-wavefront DP pair (already Mosaic kernels) and the per-iteration skew
-gather outside.
+One Mosaic kernel replaces the XLA body's entire post-DP pipeline --
+memberships, subgradients, consistent branch, greedy matching rounds,
+bound bookkeeping and the float32 dual update -- leaving per iteration only
+the scatter-max PSSM update, the wavefront DP pair (Mosaic kernels in
+:mod:`lara_tpu.ops.gotoh_pallas`) and a handful of glue ops.
 
-Per iteration: ``pssm kernel -> skew -> DP forward -> DP traceback ->
+Per iteration: ``scatter-max PSSM -> DP forward -> DP traceback ->
 bookkeeping kernel``.
 
 Key re-designs vs :func:`device_solver.solve_batch_chunk` (same bit-exact
@@ -27,21 +26,15 @@ semantics, ``subgradient_solver.hpp:219-331``, ``lagrange.hpp:312-423``):
   ``pick_rev[i] = any_a(dual_m[i] == slot_edge[a] & rprof[i] == srun[a])``.
   ``pick`` itself uses the same join on ``dual_l``/``profits``, so neither
   the rev sort nor any cross-kernel run-max plumbing is needed.
-* **The PSSM compaction sort and the one-hot MXU placement are gone.**
-  Run-start aggregates are routed to their grid cells by two monotone
-  butterfly passes with loop-invariant control bits (one int32 word per
-  slot, built once per batch by :func:`build_route_controls`): a stable
-  compaction (masked left rolls, LSB-first) then an expansion to cell
-  positions (masked right rolls, MSB-first).  Both are collision-free
-  because the shift distances are non-decreasing along the stream: at the
-  round for bit k the remaining distances are congruent mod 2^k, so two
-  adjacent elements whose bit-k differ are >= 2^k apart in distance, which
-  preserves strict ordering (LSB-first for left moves; the mirrored
-  argument forces MSB-first for right moves).
-* The segmented suffix-max scan (placement), the exact-top scan (consistent
-  branch), the line-membership joins, the greedy matching rounds (shared
-  with :mod:`matching_pallas`), bound bookkeeping and the float32 dual
-  update all run VMEM-resident inside the kernels.
+* The exact-top scan (consistent branch), the line-membership joins, the
+  greedy matching rounds (shared with :mod:`matching_pallas`), bound
+  bookkeeping and the float32 dual update all run VMEM-resident inside the
+  kernel.
+
+(The PSSM placement itself is no longer a kernel at all: every dual
+entry's position in the skewed DP input is loop-invariant, so the driver
+performs one int32 scatter-max onto a hoisted base per iteration --
+``device_solver.solve_batch_chunk``.)
 
 Bit-equality with the XLA body is fuzzed in ``tests/test_mega.py``
 (interpret mode on CPU) and gated on hardware by the bench parity oracles.
@@ -82,184 +75,6 @@ def _kshift_left(x, s: int, fill, col):
     """out[i] = x[i+s] (fill for i >= w-s)."""
     w = x.shape[-1]
     return jnp.where(col >= w - s, fill, pltpu.roll(x, shift=w - s, axis=1))
-
-
-# ---------------------------------------------------------------------------
-# loop-invariant butterfly routing controls (XLA, once per batch)
-# ---------------------------------------------------------------------------
-
-def build_route_controls(dual_l, dvalid, ne: int, ew: int):
-    """Control words for the in-kernel run-start -> grid-cell routing.
-
-    Returns ``(cctrl [B, D] i32, ectrl [B, EW] i32, covered [B, NE] bool)``.
-    ``cctrl`` bit k set at slot i: at compaction round k (LSB-first), slot i
-    receives the element from slot i + 2^k.  ``ectrl`` bit k set at slot i:
-    at expansion round k (rounds iterate MSB-first), slot i receives from
-    slot i - 2^k.  ``covered``: grid cells owning at least one dual entry.
-    The simulation below just replays the collision-free monotone routing
-    (see module docstring) in slot space.
-    """
-    from lara_tpu.solver.device_solver import _shift_left, _shift_right
-
-    b, d = dual_l.shape
-    iota_d = jnp.broadcast_to(jnp.arange(d, dtype=I32), (b, d))
-    prev_l = jnp.concatenate(
-        [jnp.full((b, 1), -1, I32), dual_l[:, :-1]], axis=1)
-    is_start = dvalid & (dual_l != prev_l)
-    rank = jnp.cumsum(is_start.astype(I32), axis=1) - 1
-    n_starts = jnp.sum(is_start.astype(I32), axis=1, keepdims=True)
-
-    occ = is_start
-    dl = jnp.where(is_start, iota_d - rank, 0)
-    cctrl = jnp.zeros((b, d), I32)
-    dlog = max(1, (d - 1).bit_length())
-    for k in range(dlog):
-        s = 1 << k
-        move = occ & (((dl >> k) & 1) == 1)
-        inc = _shift_left(move, s, False)
-        dl = jnp.where(inc, _shift_left(dl, s, 0), dl)
-        occ = inc | (occ & ~move)
-        cctrl = cctrl | (inc.astype(I32) << k)
-
-    # compacted cell ids via the same static sort the e_cap path uses
-    compact_key = jnp.where(is_start, rank, d + iota_d)
-    _, cells_sorted = jax.lax.sort(
-        (compact_key, dual_l), dimension=1, num_keys=1)
-    iota_ew = jnp.broadcast_to(jnp.arange(ew, dtype=I32), (b, ew))
-    if ew > d:
-        cells = jnp.pad(cells_sorted, ((0, 0), (0, ew - d)))
-    else:
-        cells = cells_sorted[:, :ew]
-    occ2 = iota_ew < n_starts
-    dl2 = jnp.where(occ2, cells - iota_ew, 0)
-    ectrl = jnp.zeros((b, ew), I32)
-    ewlog = max(1, (ew - 1).bit_length())
-    for k in reversed(range(ewlog)):
-        s = 1 << k
-        move = occ2 & (((dl2 >> k) & 1) == 1)
-        inc = _shift_right(move, s, False)
-        dl2 = jnp.where(inc, _shift_right(dl2, s, 0), dl2)
-        occ2 = inc | (occ2 & ~move)
-        ectrl = ectrl | (inc.astype(I32) << k)
-
-    lane = jnp.arange(b, dtype=I32)
-    start_dst = jnp.where(is_start, dual_l, ne)
-    covered = jnp.zeros((b, ne), bool).at[lane[:, None], start_dst].set(
-        True, mode="drop", unique_indices=True)
-    return cctrl, ectrl, covered
-
-
-# ---------------------------------------------------------------------------
-# kernel 1: PSSM grid from the current duals
-# ---------------------------------------------------------------------------
-
-def pack_pssm_inputs(dual_l, dvalid, cctrl, ectrl, covered, active, ne: int):
-    """Pack the pssm kernel's loop-invariant operands into two int32 words.
-
-    Per-operand DMA issue overhead dominates small kernels on TPU (measured
-    ~1.5 us per operand per grid step), so the five loop-invariant streams
-    collapse to two: ``packed_d`` = dual_l (bits 0-13, ne <= 16384 by the
-    mega gate) | dvalid (bit 14) | cctrl (bits 15+); ``packed_ne`` =
-    covered (bit 0) | active (bit 1) | ectrl (bits 2+).
-    """
-    assert ne <= 16384, "packed dual_l field is 14 bits"
-    packed_d = (dual_l & 0x3FFF) | (dvalid.astype(I32) << 14) | (cctrl << 15)
-    # ectrl may be wider than NE (EW = max(ne, d)); its bits beyond NE are
-    # zero by construction (expansion sources are compacted slots < n_edges
-    # <= ne, targets are cells < ne), so the NE-wide slice is lossless
-    packed_ne = covered.astype(I32) | (active.astype(I32) << 1) \
-        | (ectrl[:, :ne] << 2)
-    return packed_d, packed_ne
-
-
-def _make_pssm_kernel(steps: int, dlog: int, ewlog: int, ne: int, ew: int):
-    pssm_init = int(PSSM_INIT)
-    neg_inf = int(NEG_INF)
-    assert dlog <= 17 and ewlog <= 30 - 2
-
-    def _kernel(packed_d_ref, sscore_ref, dual_ref, packed_ne_ref, seq_ref,
-                pssm_ref):
-        bb, d = packed_d_ref.shape
-        col_d = jax.lax.broadcasted_iota(I32, (bb, d), dimension=1)
-        col_e = jax.lax.broadcasted_iota(I32, (bb, ew), dimension=1)
-        packed_d = packed_d_ref[...]
-        dual_l = packed_d & 0x3FFF
-        dv = ((packed_d >> 14) & 1) != 0
-        cctrl = packed_d >> 15
-        packed_ne = packed_ne_ref[...]
-        profits = jnp.where(dv, sscore_ref[...] + dual_ref[...], neg_inf)
-        # run starts: dvalid-masked dual_l differs from the left neighbour
-        # (padding has dual_l == 0 packed, so mask with a sentinel first)
-        dlm = jnp.where(dv, dual_l, -1)
-        prev_l = _kshift_right(dlm, 1, -2, col_d)
-        is_start = dv & (dlm != prev_l)
-
-        # suffix max within each run (doubling; run starts end up with the
-        # full-run maximum -- the reference's queue-top profit per edge)
-        bp = profits
-        s = 1
-        for _ in range(steps):
-            same = _kshift_left(dlm, s, -2, col_d) == dlm
-            bp = jnp.maximum(
-                bp, jnp.where(same, _kshift_left(bp, s, neg_inf, col_d),
-                              neg_inf))
-            s *= 2
-        v = jnp.where(is_start, bp, 0)
-
-        for k in range(dlog):
-            inc = ((cctrl >> k) & 1) != 0
-            v = jnp.where(inc, _kshift_left(v, 1 << k, 0, col_d), v)
-        if ew > d:
-            v = jnp.concatenate([v, jnp.zeros((bb, ew - d), I32)], axis=1)
-        ectrl = packed_ne >> 2
-        if ew > ne:  # bits beyond NE are zero by construction (see pack)
-            ectrl = jnp.concatenate(
-                [ectrl, jnp.zeros((bb, ew - ne), I32)], axis=1)
-        for k in reversed(range(ewlog)):
-            inc = ((ectrl >> k) & 1) != 0
-            v = jnp.where(inc, _kshift_right(v, 1 << k, 0, col_e), v)
-        placed = jnp.where((packed_ne & 1) != 0,
-                           jnp.maximum(v[:, :ne], 0), 0)
-        pssm_ref[...] = jnp.where((packed_ne & 2) != 0,
-                                  seq_ref[...] + placed, pssm_init)
-
-    return _kernel
-
-
-def mega_pssm(packed_d, sscore, dual, packed_ne, seq_score, *, steps: int,
-              ne: int, ew: int, interpret: bool = False):
-    """[B, NE] PSSM grid from the current duals.
-
-    ``packed_d``/``packed_ne`` from :func:`pack_pssm_inputs` (loop-invariant,
-    pack once per batch); ``sscore``/``dual`` [B, D] and ``seq_score``
-    [B, NE] int32.
-    """
-    b, d = packed_d.shape
-    dlog = max(1, (d - 1).bit_length())
-    ewlog = max(1, (ew - 1).bit_length())
-    # per-lane VMEM estimate incl. live temporaries (scan carries, the
-    # widened routing workspace and its shifted copies); conservative -- the
-    # Mosaic scoped-vmem limit is a hard 16 MB
-    lane_budget = max(1, (5 * 1024 * 1024) // (4 * (6 * d + 4 * ne + 2 * ew)))
-    bb = min(b, max(8, 1 << (lane_budget.bit_length() - 1)))
-    bp = _round_up(b, bb)
-
-    def pad(x, fill=0):
-        if bp == b:
-            return x
-        return jnp.pad(x, ((0, bp - b), (0, 0)), constant_values=fill)
-
-    dspec = pl.BlockSpec((bb, d), lambda g: (g, 0), memory_space=pltpu.VMEM)
-    nspec = pl.BlockSpec((bb, ne), lambda g: (g, 0), memory_space=pltpu.VMEM)
-    pssm = pl.pallas_call(
-        _make_pssm_kernel(steps, dlog, ewlog, ne, ew),
-        grid=(bp // bb,),
-        in_specs=[dspec, dspec, dspec, nspec, nspec],
-        out_specs=nspec,
-        out_shape=jax.ShapeDtypeStruct((bp, ne), jnp.int32),
-        interpret=interpret,
-    )(pad(packed_d), pad(sscore), pad(dual), pad(packed_ne), pad(seq_score))
-    return pssm[:b]
 
 
 # ---------------------------------------------------------------------------

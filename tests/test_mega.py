@@ -3,9 +3,11 @@
 The mega path (``device_solver.solve_batch_chunk_mega`` +
 ``mega_pallas``) re-derives the subgradient picks and the PSSM placement
 by fundamentally different mechanisms (slot joins instead of the rev sort;
-monotone butterfly routing instead of sort + one-hot matmul), so these
-tests pin it against the XLA body end-to-end through the device driver
-(Pallas interpret mode on CPU), plus a direct oracle test of the routing.
+one scatter-max onto a hoisted skewed base instead of sort + one-hot
+matmul + skew gather), so these tests pin it against the XLA body
+end-to-end through the device driver (Pallas interpret mode on CPU; the
+CPU XLA body uses the grid placement, so the comparison crosses both
+placement implementations).
 """
 
 import os
@@ -82,60 +84,41 @@ def test_mega_matches_xla_body(tmp_path, monkeypatch, seed, kw):
             assert r.best_upper == mir.best_upper
 
 
-@pytest.mark.parametrize("la,lb,d", [
-    (16, 24, 256),   # ew == ne
-    (8, 16, 256),    # d > ne: the expansion workspace is wider than the grid
-])
-def test_route_controls_and_pssm_kernel_oracle(la, lb, d):
-    """Random edge-major run structures through the butterfly routing vs a
-    NumPy scatter oracle (placement semantics of lagrange.hpp:305-309)."""
-    import jax.numpy as jnp
+def test_scatter_pssm_long_pair_matches_mirror(tmp_path, monkeypatch):
+    """The long-pair scatter-max PSSM path (ne > 16384) vs the mirror.
 
-    from lara_tpu.solver import mega_pallas
-    from lara_tpu.types import INFINITY, PSSM_INIT
+    Pallas interpret mode on CPU; a ~130 nt pair lands in the 192-bucket,
+    which takes the scatter branch of the XLA body (the production path for
+    300 nt / 16S scales)."""
+    import jax
 
-    rng = np.random.default_rng(5)
-    b = 3
-    ne = la * lb
-    neg = -int(INFINITY)
-    dual_l = np.zeros((b, d), np.int32)
-    dvalid = np.zeros((b, d), bool)
-    sscore = rng.integers(-5000, 5000, (b, d)).astype(np.int32)
-    dual = rng.integers(-3000, 3000, (b, d)).astype(np.int32)
-    max_run = 1
-    for k in range(b):
-        n_entries = int(rng.integers(1, d))
-        cells = np.sort(rng.choice(ne, size=rng.integers(1, min(ne, 96)),
-                                   replace=False))
-        runs = rng.integers(1, 9, size=len(cells))
-        ids = np.repeat(cells, runs)[:n_entries]
-        dual_l[k, :len(ids)] = ids
-        dvalid[k, :len(ids)] = True
-        dual[k, len(ids):] = 0
-        if len(ids):
-            max_run = max(max_run, int(np.unique(ids, return_counts=True)[1].max()))
-    seq_score = rng.integers(-2000, 2000, (b, ne)).astype(np.int32)
-    active = rng.random((b, ne)) < 0.7
+    import numpy as np
 
-    exp = np.full((b, ne), int(PSSM_INIT), np.int64)
-    for k in range(b):
-        mpp = np.full(ne, neg, np.int64)
-        for i in range(d):
-            if dvalid[k, i]:
-                p = int(sscore[k, i]) + int(dual[k, i])
-                mpp[dual_l[k, i]] = max(mpp[dual_l[k, i]], p)
-        placed = np.where(mpp > neg, np.maximum(mpp, 0), 0)
-        exp[k] = np.where(active[k], seq_score[k].astype(np.int64) + placed,
-                          int(PSSM_INIT))
+    from lara_tpu.app import enumerate_pairs
+    from lara_tpu.solver import device_driver, reference_driver
 
-    ew = max(ne, d)
-    cctrl, ectrl, covered = mega_pallas.build_route_controls(
-        jnp.asarray(dual_l), jnp.asarray(dvalid), ne, ew)
-    packed_d, packed_ne = mega_pallas.pack_pssm_inputs(
-        jnp.asarray(dual_l), jnp.asarray(dvalid), cctrl, ectrl, covered,
-        jnp.asarray(active), ne)
-    steps = max(1, (max_run - 1).bit_length())
-    pssm = mega_pallas.mega_pssm(
-        packed_d, jnp.asarray(sscore), jnp.asarray(dual), packed_ne,
-        jnp.asarray(seq_score), steps=steps, ne=ne, ew=ew, interpret=True)
-    np.testing.assert_array_equal(np.asarray(pssm).astype(np.int64), exp)
+    rng = np.random.default_rng(13)
+    base = "".join("ACGU"[k] for k in rng.integers(0, 4, 130))
+    seq2 = list(base)
+    for _ in range(10):
+        seq2[int(rng.integers(0, len(seq2)))] = "ACGU"[rng.integers(0, 4)]
+    struct = ["."] * 130
+    for k in range(8):
+        struct[10 + k] = "("
+        struct[80 - k] = ")"
+    path = tmp_path / "long.dbn"
+    path.write_text(f">a\n{base}\n{''.join(struct)}\n"
+                    f">b\n{''.join(seq2)}\n{''.join(struct)}\n")
+
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(jax, "local_devices", lambda *a, **k: [dev0])
+    monkeypatch.setenv("LARA_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("LARA_NO_MEGA", "1")
+    params = Parameters(in_file=str(path), num_iterations=25)
+    store = InputStorage(in_file=str(path))
+    res = list(device_driver.solve_all(store, enumerate_pairs(store),
+                                       params))[0]
+    mir = reference_driver.solve_pair(store[0], store[1], params, (0, 1))
+    assert res.columns == mir.columns
+    assert res.best_lower == mir.best_lower
+    assert res.best_upper == mir.best_upper
