@@ -293,8 +293,12 @@ def _get_unpack_model(ne: int, d: int, la_max: int, lb_max: int,
         ranks = jnp.arange(nk, dtype=jnp.int32)
         oh_a = (sa[:, :, None] == ranks).astype(jnp.float32)
         oh_b = (sb[:, :, None] == ranks).astype(jnp.float32)
+        # HIGHEST precision: the TPU MXU's default f32 path rounds through
+        # bf16 (8-bit mantissa), which corrupts score-matrix entries >
+        # 2^8 * ulp -- measured as a 300-ish score drift vs the mirror
         mat = jnp.einsum("bif,fg,bjg->bij", oh_a, submat_f, oh_b,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         seq_score = (scale[:, None, None] * mat).astype(jnp.int32)
         return device_solver.BatchModel(
             seq_score=seq_score.reshape(bp, ne), active=active,
