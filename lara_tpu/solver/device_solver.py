@@ -79,17 +79,20 @@ def _use_pallas() -> bool:
 
 
 def _use_mega() -> bool:
-    """Fused per-iteration Mosaic kernels (:mod:`mega_pallas`) on TPU.
-    LARA_NO_MEGA=1 falls back to the XLA iteration body;
-    LARA_MEGA_INTERPRET=1 forces the mega path in Pallas interpret mode on
-    CPU (parity tests)."""
+    """Fused bookkeeping kernel path (:mod:`mega_pallas`), opt-in via
+    LARA_MEGA=1 (TPU) or LARA_MEGA_INTERPRET=1 (CPU interpret, parity
+    tests).  Measured end of round 4: with the grid placement restored in
+    its body, the mega path runs ~20% SLOWER than the XLA body at bench
+    scale (156 vs 192 al/s) and costs a multi-minute extra Mosaic compile,
+    so the XLA body is the default; the kernel and its sort-free
+    subgradient formulation remain available and parity-tested."""
     import os
 
     if os.environ.get("LARA_NO_MEGA") or os.environ.get("LARA_NO_PALLAS"):
         return False
     if os.environ.get("LARA_MEGA_INTERPRET"):
         return True
-    return jax.default_backend() == "tpu"
+    return bool(os.environ.get("LARA_MEGA")) and jax.default_backend() == "tpu"
 
 
 def _align_dchunk(la_max: int, lb_max: int) -> int:
