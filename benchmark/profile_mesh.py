@@ -52,7 +52,6 @@ def main():
         return orig(model, go, ge, sf0, la_max, lb_max, num_iterations,
                     max_nondecr, lookahead, chunk, scan_steps, e_cap)
 
-    os.environ["LARA_NO_MEGA"] = "1"  # sharded path is the XLA body
     device_solver.solve_batch = capture
     try:
         list(device_driver.solve_all(store, enumerate_pairs(store), params))

@@ -533,23 +533,41 @@ def gotoh_scan_pallas(skewed, la, lb, go, ge, block_b: int = 64,
 def align_plan(b: int, la_max: int, lb_max: int, block_b: int = 64,
                dchunk: int = 8):
     """Static padding plan shared by the wavefront kernels and callers that
-    pre-skew loop-invariant streams: (bb, bp, wp, dp, num_diag)."""
+    pre-skew loop-invariant streams: (bb, bp, wp, dp, num_diag, dchunk).
+
+    Invariant (TPU DMA tiling): when the plan is multi-block (bp > bb) the
+    stream kernels DMA-slice the batch dim of the int8 dirs tensor at
+    offsets of ``bb``, which must land on 32-sublane int8 tile boundaries —
+    so bb must be >= 32 (a power-of-two >= 32 is always a multiple of 32).
+    When the VMEM budget cannot fit 32 lanes at the requested dchunk,
+    ``dchunk`` is halved until they fit (dchunk only amortizes per-block
+    DMA overhead; 8..128 measured within noise at 16S scale, PROFILE.md) —
+    callers MUST use the returned dchunk, not the one they passed in.
+    """
     num_diag = la_max + lb_max + 1
-    wp_est = _round_up(la_max + 1, 128)
-    # stream-kernel VMEM per lane: double-buffered skewed blocks
-    # (2*dchunk*wp*4B) + dirs blocks (2*dchunk*wp*1B) + ~12 wavefront/state
-    # rows (48B*wp); budget 10 MB of the 16 MB scoped limit
-    vmem_cap = max(1, (10 * 1024 * 1024) // (wp_est * (10 * dchunk + 48)))
-    block_b = min(block_b, 1 << (vmem_cap.bit_length() - 1))
-    # 8-lane floor: DMA slices of the batch dim must respect the sublane
-    # tiling, and per the round-4 layout experiment a [8, W] wavefront step
-    # costs the same as [1, W] (the VPU processes 8 sublanes either way),
-    # so padding tiny batches to 8 lanes is compute-free
-    bb = max(8, min(block_b, b))
-    bp = _round_up(b, bb)
     wp = _round_up(la_max + 1, 128)
+    while True:
+        # stream-kernel VMEM per lane: double-buffered skewed blocks
+        # (2*dchunk*wp*4B) + dirs blocks (2*dchunk*wp*1B) + ~12 wavefront/
+        # state rows (48B*wp); budget 10 MB of the 16 MB scoped limit
+        vmem_cap = max(1, (10 * 1024 * 1024) // (wp * (10 * dchunk + 48)))
+        eff = min(block_b, 1 << (vmem_cap.bit_length() - 1))
+        # 8-lane floor: per the round-4 layout experiment a [8, W] wavefront
+        # step costs the same as [1, W] (the VPU processes 8 sublanes either
+        # way), so padding tiny batches to 8 lanes is compute-free
+        bb = max(8, min(eff, b))
+        bp = _round_up(b, bb)
+        if bp == bb or bb >= 32 or dchunk <= 1:
+            break
+        dchunk = max(1, dchunk // 2)
+    if bp > bb and bb < 32:
+        # dchunk=1 still could not fund 32 lanes (only reachable for pairs
+        # beyond ~5900 nt with batches > 32): accept exceeding the 10 MB
+        # soft budget rather than a misaligned DMA (hard limit is 16 MB)
+        bb = 32
+        bp = _round_up(b, bb)
     dp = _round_up(num_diag, dchunk)
-    return bb, bp, wp, dp, num_diag
+    return bb, bp, wp, dp, num_diag, dchunk
 
 
 def prepare_skewed_seq(seq_scores, la_max: int, lb_max: int,
@@ -561,7 +579,8 @@ def prepare_skewed_seq(seq_scores, la_max: int, lb_max: int,
     from lara_tpu.ops import gotoh
 
     b = seq_scores.shape[0]
-    bb, bp, wp, dp, num_diag = align_plan(b, la_max, lb_max, block_b, dchunk)
+    bb, bp, wp, dp, num_diag, dchunk = align_plan(
+        b, la_max, lb_max, block_b, dchunk)
     sseq = gotoh.skew_scores(seq_scores, 0)
     return jnp.pad(
         sseq, ((0, dp - num_diag), (0, bp - b), (0, wp - (la_max + 1))))
@@ -597,8 +616,10 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
     b = la.shape[0]
     lcap = min(la_max, lb_max)
     num_diag = la_max + lb_max + 1
-    # VMEM-aware batch blocking shared with prepare_skewed_seq callers
-    bb, bp, wp, dp, _ = align_plan(b, la_max, lb_max, block_b, dchunk)
+    # VMEM-aware batch blocking shared with prepare_skewed_seq callers;
+    # align_plan may reduce dchunk to keep multi-block DMA slices tile-
+    # aligned — the returned dchunk shadows the argument from here on
+    bb, bp, wp, dp, _, dchunk = align_plan(b, la_max, lb_max, block_b, dchunk)
     if pssm_skewed is not None:
         skewed = pssm_skewed
         assert skewed.shape == (dp, bp, wp), (skewed.shape, (dp, bp, wp))

@@ -69,6 +69,11 @@ class Parameters:
     suboptimal_diff: float = 40.0
     # scoring
     balance: float = 1.0
+    #: ``-b auto``: ignore ``balance`` and key the structural-score weight on
+    #: each pair's measured sequence identity (edge_filter.hpp:156-157 --
+    #: the quantity the reference computes there for ``-c``).  The mapping
+    #: lives in :func:`effective_balance`; calibration in benchmark/RESULTS.md.
+    balance_auto: bool = False
     sequence_scale: float = 0.0
     structure_scoring: int = 0  # 0 LOGARITHMIC, 1 SCALE
     gap_extend: float = -2.0
@@ -140,8 +145,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                              "maximum-weighted-matching backend.")
     parser.add_argument("-u", "--subopt", type=float, default=40.0,
                         help="Suboptimality threshold for alignment-edge filtering.")
-    parser.add_argument("-b", "--balance", type=float, default=1.0,
-                        help="Impact factor of the structural score.")
+    parser.add_argument("-b", "--balance", default="1.0",
+                        help="Impact factor of the structural score (float), "
+                             "or 'auto' to key it on each pair's measured "
+                             "sequence identity (recommended for diverged "
+                             "families; see benchmark/RESULTS.md).")
     parser.add_argument("-c", "--seqscale", type=float, default=0.0,
                         help="Impact of alignment score dependent on sequence similarity.")
     parser.add_argument("-p", "--probscoremode", type=int, default=0, choices=(0, 1),
@@ -202,7 +210,8 @@ def parse_args(argv=None) -> Parameters:
         epsilon=args.epsilon,
         matching=args.matching,
         suboptimal_diff=args.subopt,
-        balance=args.balance,
+        balance=1.0 if str(args.balance).lower() == "auto" else float(args.balance),
+        balance_auto=str(args.balance).lower() == "auto",
         sequence_scale=args.seqscale,
         structure_scoring=args.probscoremode,
         gap_extend=args.gapextend,

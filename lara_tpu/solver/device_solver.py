@@ -78,23 +78,6 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu" or _pallas_interpret()
 
 
-def _use_mega() -> bool:
-    """Fused bookkeeping kernel path (:mod:`mega_pallas`), opt-in via
-    LARA_MEGA=1 (TPU) or LARA_MEGA_INTERPRET=1 (CPU interpret, parity
-    tests).  Measured end of round 4: with the grid placement restored in
-    its body, the mega path runs ~20% SLOWER than the XLA body at bench
-    scale (156 vs 192 al/s) and costs a multi-minute extra Mosaic compile,
-    so the XLA body is the default; the kernel and its sort-free
-    subgradient formulation remain available and parity-tested."""
-    import os
-
-    if os.environ.get("LARA_NO_MEGA") or os.environ.get("LARA_NO_PALLAS"):
-        return False
-    if os.environ.get("LARA_MEGA_INTERPRET"):
-        return True
-    return bool(os.environ.get("LARA_MEGA")) and jax.default_backend() == "tpu"
-
-
 def _align_dchunk(la_max: int, lb_max: int) -> int:
     """dchunk grows with the diagonal count so long pairs amortize the
     per-grid-step overhead (see PROFILE.md).  LARA_DCHUNK overrides for
@@ -294,28 +277,13 @@ def solve_batch(
     d = model.dual_l.shape[1]
     carry = _init_carry(b, d, la_max, step_factor0, num_iterations)
     total = 0
-    # the fused path holds [BB, NE]-wide arrays VMEM-resident for the
-    # placement butterfly and ~(480*D)-byte/lane bookkeeping state, so it
-    # is gated to tRNA-scale grids and dual capacities; larger buckets stay
-    # on the XLA body (whose cost is DP-dominated there anyway,
-    # benchmark/PROFILE.md 16S section)
-    mega = (_use_mega() and 1 <= lookahead <= 8
-            and la_max * lb_max <= 16384 and d <= 3072)
-    interp = jax.default_backend() != "tpu"
     pending_flag = None  # any-lane-active flag of the PREVIOUS chunk
     while total < num_iterations:
-        if mega:
-            carry = solve_batch_chunk_mega(
-                model, carry, go, ge, la_max, lb_max,
-                min(chunk, num_iterations - total), max_nondecr, lookahead,
-                scan_steps, e_cap, interpret=interp,
-            )
-        else:
-            carry = solve_batch_chunk(
-                model, carry, go, ge, la_max, lb_max,
-                min(chunk, num_iterations - total), max_nondecr, lookahead,
-                scan_steps, e_cap,
-            )
+        carry = solve_batch_chunk(
+            model, carry, go, ge, la_max, lb_max,
+            min(chunk, num_iterations - total), max_nondecr, lookahead,
+            scan_steps, e_cap,
+        )
         total += chunk
         # read the flag one chunk late: the next dispatch is already queued
         # when the device->host sync happens, so the tunnel round trip
@@ -443,8 +411,17 @@ def solve_batch_chunk(
             # max(run max, 0) -- exactly lagrange.hpp:305-309.  This
             # replaces the per-iteration placement AND the skew gather,
             # which dominated long-pair iterations (PROFILE.md) ----
-            _bb, bpp, wpp, dpp, _nd = align_plan(b, la_max, lb_max,
-                                                 block_b=128, dchunk=dchunk_a)
+            _bb, bpp, wpp, dpp, _nd, _dc = align_plan(
+                b, la_max, lb_max, block_b=128, dchunk=dchunk_a)
+            # flat_pos below is int32: the largest scatter target index is
+            # dpp*bpp*wpp-1, which must not wrap (pairs ~2900 nt with a
+            # padded batch of 32 would).  Static shapes, so guard statically;
+            # the driver's HBM batch cap keeps real workloads far below this.
+            if dpp * bpp * wpp >= 2**31:
+                raise ValueError(
+                    "scatter-max PSSM index space exceeds int32: "
+                    f"dpp*bpp*wpp = {dpp}*{bpp}*{wpp} >= 2^31; reduce the "
+                    "batch width for pairs this long (LARA_DBATCH)")
             base_grid = jnp.where(model.active, model.seq_score,
                                   I32(PSSM_INIT)).reshape(b, la_max, lb_max)
             base_skewed = jnp.pad(
@@ -651,184 +628,6 @@ def solve_batch_chunk(
 
     _, final = jax.lax.while_loop(cond, body, (I32(0), carry))
     return final
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("la_max", "lb_max", "max_steps", "max_nondecr",
-                     "lookahead", "scan_steps", "e_cap", "interpret"),
-    donate_argnames=("carry",),
-)
-def solve_batch_chunk_mega(
-    model: BatchModel,
-    carry: "_Carry",
-    go,
-    ge,
-    la_max: int,
-    lb_max: int,
-    max_steps: int,
-    max_nondecr: int,
-    lookahead: int,
-    scan_steps: int = 0,
-    e_cap: int = 0,
-    interpret: bool = False,
-) -> "_Carry":
-    """Fused-kernel variant of :func:`solve_batch_chunk`: the whole
-    bookkeeping pipeline runs inside two Mosaic kernels per iteration
-    (:mod:`lara_tpu.solver.mega_pallas`), leaving only the DP kernel pair
-    and the skew gather outside.  Bit-identical to the XLA body (fuzzed in
-    ``tests/test_mega.py``)."""
-    from lara_tpu.ops.gotoh_pallas import (align_pssm_batch_pallas,
-                                           prepare_skewed_seq)
-    from lara_tpu.solver import mega_pallas
-
-    b, ne = model.seq_score.shape
-    d = model.dual_l.shape[1]
-    go = I32(go)
-    ge = I32(ge)
-    full_depth = max(1, (d - 1).bit_length())
-    steps = full_depth if scan_steps <= 0 else min(scan_steps, full_depth)
-    wp = ((la_max + 127) // 128) * 128
-
-    # ---- loop-invariant precomputation ----
-    iota_d = jnp.broadcast_to(jnp.arange(d, dtype=I32), (b, d))
-    lane = jnp.arange(b, dtype=I32)
-    cand_base = (model.dvalid & (model.dual_l < model.dual_m)).astype(I32)
-    _, lq_s, mq_s, wq_s, candq_base = jax.lax.sort(
-        (model.qrank, model.dual_l, model.dual_m, 2 * model.sscore,
-         cand_base), dimension=1, num_keys=1)
-    cw = max(128, d // 2)
-    ckey = jnp.where(candq_base != 0, iota_d, d + iota_d)
-    _, lq_c, mq_c, wq_c = jax.lax.sort(
-        (ckey, lq_s, mq_s, wq_s), dimension=1, num_keys=1)
-    lq_c = lq_c[:, :cw]
-    mq_c = mq_c[:, :cw]
-    wq_c = wq_c[:, :cw]
-    nc_base = jnp.sum(candq_base, axis=1).astype(I32)[:, None]
-    dchunk = _align_dchunk(la_max, lb_max)
-    sseq_skewed = prepare_skewed_seq(
-        model.seq_score.reshape(b, la_max, lb_max), la_max, lb_max,
-        block_b=128, dchunk=dchunk)
-    # grid PSSM placement invariants (the mega gate keeps ne <= 16384,
-    # where the sort + one-hot-matmul placement beats the long-pair
-    # scatter-max path -- see solve_batch_chunk's scatter_pssm note)
-    same_masks = _same_segment_masks(model.dual_l, steps)
-    prev_l = jnp.concatenate(
-        [jnp.full((b, 1), -1, I32), model.dual_l[:, :-1]], axis=1)
-    is_start = model.dvalid & (model.dual_l != prev_l)
-    start_dst = jnp.where(is_start, model.dual_l, ne)
-    if e_cap > 0:
-        n_starts = jnp.sum(is_start, axis=1).astype(I32)
-        start_rank = jnp.cumsum(is_start.astype(I32), axis=1) - 1
-        compact_key = jnp.where(is_start, start_rank, d + iota_d)
-        _, cells_sorted = jax.lax.sort(
-            (compact_key, model.dual_l), dimension=1, num_keys=1)
-        iota_e = jnp.arange(e_cap, dtype=I32)[None, :]
-        cells = jnp.where(iota_e < n_starts[:, None],
-                          cells_sorted[:, :e_cap], ne)       # [B, E]
-        cell_a = cells // lb_max
-        cell_b = cells - cell_a * lb_max
-        cell_ok = cells < ne
-        rowhot = ((cell_a[:, None, :]
-                   == jnp.arange(la_max, dtype=I32)[None, :, None])
-                  & cell_ok[:, None, :]).astype(jnp.int8)     # [B, LA, E]
-        colhot = ((cell_b[:, :, None]
-                   == jnp.arange(lb_max, dtype=I32)[None, None, :])
-                  & cell_ok[:, :, None]).astype(jnp.int8)     # [B, E, LB]
-    dvalid_i = model.dvalid.astype(I32)
-
-    def padw(x, fill):
-        if wp == la_max:
-            return x
-        return jnp.pad(x, ((0, 0), (0, wp - la_max)), constant_values=fill)
-
-    st0 = (
-        I32(0),
-        carry.dual,
-        carry.dual_at_queue,
-        carry.step_factor[:, None],
-        carry.nondecr[:, None],
-        carry.remaining[:, None],
-        carry.lane_active.astype(I32)[:, None],
-        carry.best_lower[:, None],
-        carry.best_upper[:, None],
-        carry.best_score[:, None],
-        padw(carry.best_partner, -1),
-        carry.best_nlines[:, None],
-        padw(carry.best_matched.astype(I32), 0),
-        carry.iterations[:, None],
-    )
-
-    def cond(st):
-        return (st[0] < max_steps) & jnp.any(st[6] != 0)
-
-    def body(st):
-        (k, dual, daq, sf, nondecr, remaining, act_i, bl, bu, bs, bpart,
-         bnl, bmatch, iters) = st
-        profits_m = jnp.where(model.dvalid, model.sscore + dual, NEG_INF)
-        run_p, _ri = _run_top(profits_m, iota_d, same_masks, NEG_INF, I32(d))
-        bonus = jnp.maximum(run_p, 0)
-        if e_cap > 0:
-            _, vc = jax.lax.sort(
-                (compact_key, bonus), dimension=1, num_keys=1)
-            vc = vc[:, :e_cap]
-            colval = jnp.concatenate(
-                [colhot * ((vc >> sh) & 0x7F).astype(jnp.int8)[:, :, None]
-                 for sh in (28, 21, 14, 7, 0)],
-                axis=2)                                      # [B, E, 5*LB]
-            outm = jnp.matmul(rowhot, colval,
-                              preferred_element_type=I32)    # [B, LA, 5*LB]
-            placed = (outm[:, :, :lb_max] << 28) \
-                | (outm[:, :, lb_max:2 * lb_max] << 21) \
-                | (outm[:, :, 2 * lb_max:3 * lb_max] << 14) \
-                | (outm[:, :, 3 * lb_max:4 * lb_max] << 7) \
-                | outm[:, :, 4 * lb_max:]
-            placed = placed.reshape(b, ne)
-        else:
-            placed = jnp.maximum(
-                jnp.full((b, ne), NEG_INF, I32).at[
-                    lane[:, None], start_dst
-                ].set(run_p, mode="drop", unique_indices=True), 0)
-        pssm = jnp.where(
-            model.active, model.seq_score + placed,
-            I32(PSSM_INIT)).reshape(b, la_max, lb_max)
-        tb = align_pssm_batch_pallas(
-            pssm, model.la, model.lb, go, ge,
-            la_max, lb_max, emit_lines=False, block_b=128, dchunk=dchunk,
-            seq_scores_skewed=sseq_skewed, interpret=interpret)
-        partner = padw(tb.partner, -1)
-        tbs = jnp.stack(
-            [tb.upper, tb.gap_score, tb.n_lines, tb.seq_part])[:, :, None]
-        outs = mega_pallas.mega_bookkeep(
-            (model.dual_l, model.dual_m, model.sscore, dvalid_i, dual, daq,
-             lq_c, mq_c, wq_c, nc_base, partner, tbs, sf, nondecr,
-             remaining, act_i, bl, bu, bs, bnl, iters, bpart, bmatch),
-            la_max=la_max, lb_max=lb_max, ne=ne, steps=steps,
-            lookahead=lookahead, max_nondecr=max_nondecr,
-            interpret=interpret)
-        (dual2, daq2, sf2, nondecr2, remaining2, act2, bl2, bu2, bs2, bnl2,
-         iters2, bpart2, bmatch2) = outs
-        return (k + 1, dual2, daq2, sf2, nondecr2, remaining2, act2, bl2,
-                bu2, bs2, bpart2, bnl2, bmatch2, iters2)
-
-    st = jax.lax.while_loop(cond, body, st0)
-    (_k, dual, daq, sf, nondecr, remaining, act_i, bl, bu, bs, bpart, bnl,
-     bmatch, iters) = st
-    return _Carry(
-        dual=dual,
-        dual_at_queue=daq,
-        step_factor=sf[:, 0],
-        nondecr=nondecr[:, 0],
-        remaining=remaining[:, 0],
-        lane_active=act_i[:, 0] != 0,
-        best_lower=bl[:, 0],
-        best_upper=bu[:, 0],
-        best_score=bs[:, 0],
-        best_partner=bpart[:, :la_max],
-        best_nlines=bnl[:, 0],
-        best_matched=bmatch[:, :la_max] != 0,
-        iterations=iters[:, 0],
-    )
 
 
 def solve_batch_traced(

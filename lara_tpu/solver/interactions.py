@@ -91,6 +91,23 @@ def adjacency_arrays(record: RnaRecord, length: int, precise: bool):
     return partners, weights
 
 
+def effective_balance(params: Parameters, identity: float) -> float:
+    """The structural-score weight for one pair.
+
+    ``-b <float>``: the reference's constant factor (``lagrange.hpp:289``).
+    ``-b auto``: keyed on the pair's measured sequence identity -- the
+    quantity the reference's edge filter already computes for ``-c``
+    (``edge_filter.hpp:156-157``).  Calibration (benchmark/RESULTS.md
+    balance sweeps): near-identical pairs are insensitive to balance, and
+    below ~80% identity the measured optimum across hold-out and
+    low-identity families is balance ~= 0.5 -- predicted-structure noise
+    grows with divergence, so its weight must come down.
+    """
+    if not params.balance_auto:
+        return float(params.balance)
+    return 1.0 if identity >= 0.8 else 0.5
+
+
 _NATIVE_BUILD = None
 
 
@@ -143,7 +160,9 @@ def build_pair_model(
 
     from lara_tpu.types import av_seq_id
 
-    scale = seq_scale_factor(params.sequence_scale, av_seq_id(opt_score, la, lb))
+    identity = av_seq_id(opt_score, la, lb)
+    scale = seq_scale_factor(params.sequence_scale, identity)
+    balance = effective_balance(params, identity)
     mat = np.asarray(params.score_matrix, dtype=np.int32)[seq_a[:, None], seq_b[None, :]]
     seq_score = np.trunc(np.float32(scale) * mat.astype(np.float32)).astype(np.int32)
 
@@ -170,7 +189,7 @@ def build_pair_model(
             np.ascontiguousarray(wa, np.float32).reshape(-1), ka,
             np.ascontiguousarray(pb, np.int32).reshape(-1),
             np.ascontiguousarray(wb, np.float32).reshape(-1), kb,
-            np.float32(params.balance),
+            np.float32(balance),
             out_l, out_m, out_s, out_rev, out_q, cap) if cap else 0
         if d < 0:
             raise AssertionError("native model build failed (asymmetric table)")
@@ -180,12 +199,13 @@ def build_pair_model(
                          scale=float(scale))
 
     return _build_pair_model_numpy(rec_a, rec_b, params, act, seq_score,
-                                   seq_a, seq_b, pa, wa, pb, wb, scale)
+                                   seq_a, seq_b, pa, wa, pb, wb, scale,
+                                   balance)
 
 
 def _build_pair_model_numpy(rec_a, rec_b, params, act, seq_score,
                             seq_a, seq_b, pa, wa, pb, wb,
-                            scale=0.0) -> PairModel:
+                            scale=0.0, balance=None) -> PairModel:
     """Vectorized NumPy mirror of the native builder."""
     la, lb = len(seq_a), len(seq_b)
     ka, kb = pa.shape[1], pb.shape[1]
@@ -220,9 +240,11 @@ def _build_pair_model_numpy(rec_a, rec_b, params, act, seq_score,
     m_edge = (a2c * lb + b2c).reshape(-1)[sel].astype(np.int32)
 
     # structScore = trunc(balance * (head + tail) / 2 * 8192) in float32
+    if balance is None:
+        balance = params.balance
     ssum = (w_head + w_tail).reshape(-1)[sel].astype(np.float32)
     sscore = np.trunc(
-        np.float32(params.balance) * ssum / np.float32(2.0) * np.float32(8192.0)
+        np.float32(balance) * ssum / np.float32(2.0) * np.float32(8192.0)
     ).astype(np.int32)
 
     # enforce the edge-major invariant: sorted by (l, m) so each edge's

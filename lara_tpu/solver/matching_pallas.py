@@ -52,9 +52,8 @@ def matching_rounds_values(live, lq, mq, wq, line, lh: int):
     ``live`` bool [BB, W] (queue-ordered candidate mask), ``lq/mq/wq`` int32
     [BB, W], ``line`` int32 [BB, S_pad] line-slot edge ids (any sentinel that
     never equals a real edge id for invalid slots).  Returns
-    (score [BB, 1] int32, used [BB, S_pad] int32).  Shared by the standalone
-    matching kernel below and the fused bookkeeping kernel
-    (:mod:`lara_tpu.solver.mega_pallas`).
+    (score [BB, 1] int32, used [BB, S_pad] int32).  Factored out so the
+    state machine can be embedded in other kernels as in-kernel values.
     """
     n_conf = lh * (lh - 1) // 2
     conf = _conflict_pairs(lh)

@@ -103,6 +103,9 @@ def build_lagrange(
     active, opt = oracle.generate_edges(seq_a, seq_b, submat, go, ge, subopt_int)
     avid = av_seq_id(opt, la, lb)
     scale = seq_scale_factor(params.sequence_scale, avid)
+    from lara_tpu.solver.interactions import effective_balance
+
+    balance = effective_balance(params, avid)
 
     # scaled per-edge sequence scores (only meaningful on active edges):
     # trunc(float32(scale) * float32(matval)) per getSeqScore (lagrange.hpp:223-226)
@@ -152,7 +155,7 @@ def build_lagrange(
                         sval = int(
                             np.int32(
                                 np.trunc(
-                                    np.float32(params.balance)
+                                    np.float32(balance)
                                     * np.float32(np.float32(w_head) + np.float32(w_tail))
                                     / np.float32(2.0)
                                     * np.float32(8192.0)
@@ -160,7 +163,7 @@ def build_lagrange(
                             )
                         )
                     else:
-                        sval = int(struct_score(params.balance, w_head, w_tail))
+                        sval = int(struct_score(balance, w_head, w_tail))
                     sscores.append(sval)
                     pair_to_dual[(edge, a2 * lb + b2)] = didx
                     plist.append(didx)

@@ -35,6 +35,23 @@ def test_all_reference_flags_parse(tmp_path):
     assert params.gap_open_int == int(f2i(-7.0))
 
 
+def test_balance_auto_parses_and_maps(tmp_path):
+    f = tmp_path / "in.dbn"
+    f.write_text(">a\nGGAACC\n((..))\n>b\nGGAACC\n((..))\n")
+    p = parse_args(["-i", str(f), "-b", "auto"])
+    assert p.balance_auto
+    from lara_tpu.solver.interactions import effective_balance
+
+    # identity-keyed weight: full weight on near-identical pairs, the
+    # measured hold-out optimum (~0.5) on diverged ones
+    assert effective_balance(p, 0.95) == pytest.approx(1.0)
+    assert effective_balance(p, 0.5) == pytest.approx(0.5)
+    # plain float still routes through unchanged
+    p2 = parse_args(["-i", str(f), "-b", "0.7"])
+    assert not p2.balance_auto
+    assert effective_balance(p2, 0.2) == pytest.approx(0.7)
+
+
 def test_defaults_match_reference(tmp_path):
     f = tmp_path / "in.dbn"
     f.write_text(">a\nGGAACC\n((..))\n>b\nGGAACC\n((..))\n")
