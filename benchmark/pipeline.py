@@ -67,12 +67,14 @@ def run_family(name, unaligned, reference, out_dir, args):
         in_file = truth
         predict = None
     t0 = time.time()
+    auto = str(args.balance).lower() == "auto"
     params = Parameters(
         in_file=in_file,
         out_file=lib_file,
         predict=predict,
         num_iterations=args.numiter,
-        balance=args.balance,
+        balance=1.0 if auto else float(args.balance),
+        balance_auto=auto,
     )
     outlib = run(params)
     solve_s = time.time() - t0
@@ -130,7 +132,7 @@ def main(argv=None) -> int:
                         help="use the external t_coffee binary for the MSA stage")
     parser.add_argument("--consensus", default="auto",
                         choices=("auto", "rnaalifold", "builtin"))
-    parser.add_argument("--balance", type=float, default=1.0,
+    parser.add_argument("--balance", default="1.0",
                         help="structural-score weight (-b); 0 gives the "
                              "sequence-only ablation")
     parser.add_argument("--with-null", action="store_true",

@@ -41,17 +41,18 @@ def main():
         ["benchmark/data_lowid", *base])
     run("low-identity families (~35% id), sequence-only (balance=0)",
         ["benchmark/data_lowid", *base, "--balance", "0"])
-    # ---- round-4 diagnosis of the hold-out structural regression ----
+    # ---- ceiling + operating-point calibration ----
     # (a) true structures as fixed edges: predictor out of the loop
     run("hold-out families, TRUE structures (fixed edges)",
         ["benchmark/data_holdout", *base, "--truth-input"])
-    # (b) balance sweep: is the hold-out loss a weighting problem?
-    for bal in ("0.25", "0.5", "2"):
+    # (b) the known-good manual point and the identity-keyed '-b auto'
+    for bal in ("0.5", "auto"):
         run(f"hold-out families, structure-aware, balance={bal}",
             ["benchmark/data_holdout", *base, "--balance", bal])
-    for bal in ("0.5", "2"):
         run(f"low-identity families, structure-aware, balance={bal}",
             ["benchmark/data_lowid", *base, "--balance", bal])
+    run("committed families, structure-aware, balance=auto",
+        ["benchmark/data", *base, "--balance", "auto"])
 
 
 if __name__ == "__main__":

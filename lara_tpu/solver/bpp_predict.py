@@ -1,68 +1,87 @@
-"""Built-in base-pair probability prediction (McCaskill partition function).
+"""Built-in base-pair probability prediction: a McCaskill partition
+function over a full nearest-neighbour (Turner-2004-style) energy model.
 
 The reference delegates structure prediction to ViennaRNA's ``pf_fold``
-(``/root/reference/src/io.hpp:286-338``) and hard-exits when ViennaRNA is not
-compiled in (``io.hpp:332-336``).  lara-tpu ships its own TPU-native
-predictor instead, enabled with ``--predict builtin``: a McCaskill-style
-partition function over canonical base pairs.
+(``/root/reference/src/io.hpp:286-338``) and hard-exits when ViennaRNA is
+not compiled in (``io.hpp:332-336``).  lara-tpu ships its own predictor
+instead, enabled with ``--predict builtin``.  Structure prediction is
+*host-side input preprocessing* (exactly ViennaRNA's role in the
+reference -- a CPU C library call per record, ``io.hpp:299-330``); it
+feeds the host model build, never the device hot loop, so the production
+path is a vectorized NumPy inside+outside sweep (strided diagonal views,
+float64), not an XLA program -- a compile-free O(n^3 + 500 n^2) pass
+beats paying a Mosaic/XLA compile for preprocessing.
 
-Design
-------
-* Production path: a vectorized NumPy inside+outside recursion in log space
-  (:func:`_bpp_matrix_numpy`), one anti-diagonal / column of masked
-  log-sum-exp reductions per step.  Structure prediction is *host-side
-  input preprocessing* (exactly ViennaRNA's role in the reference --
-  a CPU C library call per record, ``io.hpp:299-330``); it feeds the host
-  model build, never the device hot loop, and a compile-free O(L^3) NumPy
-  sweep (~ms per record) beats paying an XLA compile for it.
-* Oracle path (kept for tests): ``logZ`` as a ``lax.scan`` with
-  ``p(i,j) = d logZ / d logw[i,j]`` via ``jax.grad`` -- the outside
-  recursion derived by autodiff instead of by hand.  The NumPy path is
-  asserted against it (``tests/test_bpp_predict.py``).
-* All arithmetic is log-space, so no rescaling tricks are needed.
+Energy model (round 5 -- the full loop-based nearest-neighbour model)
+=====================================================================
 
-Energy model (round 4, "Turner-lite"): all stability comes from
-**nearest-neighbour stacks** -- a pair (i, j) whose enclosed neighbour
-(i+1, j-1) is also paired gains the Turner-2004 stack free energy for that
-pair-type combination (in kT at 37C) -- plus a **terminal AU/GU penalty**
-(0.45 kcal/mol per helix end closed by AU/UA/GU/UG) and the minimum
-hairpin loop of 3 unpaired bases (ViennaRNA's TURN).  Bare pairs carry no
-energy of their own (as in the real nearest-neighbour model).  The
-Watson-Crick 4x4 stack table uses the published Turner 2004 values; stacks
-involving wobble pairs use a simplified set (single-GU stacks -1.5,
-GU-on-GU -0.2..-0.6 kcal/mol) -- documented approximations, not ViennaRNA
-parity.  Round-4 motivation: the flat-energy round-3 model (uniform pair +
-uniform stack bonuses) actively hurt alignment quality on hold-out
-families; with the generator's true structures the structural term gained
-+0.11 SPS over sequence-only, so the predictor was the bottleneck
-(benchmark/RESULTS.md).  This remains a simplification of ViennaRNA (no
-loop/dangle terms); the downstream pipeline consumes the probabilities
-identically to dot plots (``io.hpp:318-327``).
+Free energies in kcal/mol at 37C, Boltzmann-weighted with kT = 0.6163.
+A secondary structure decomposes uniquely into loops; its energy is the
+sum of:
 
-Recursion with exact end penalties: with ``t(i,j)`` the terminal penalty
-of pair (i, j) and ``S(i,j)`` the stack energy of (i, j) on (i+1, j-1),
+* **Hairpin** closed by (i, j), loop size ``u = j-i-1 >= 3``:
+  ``HP_INIT(u)`` (Turner 2004 initiation table for u <= 30, Jacobson-
+  Stockmayer extrapolation ``HP_INIT(30) + 1.07856*ln(u/30)`` beyond)
+  + terminal AU/GU penalty of the closing pair
+  + a first-mismatch bonus for u >= 4 (approximation: -1.3 for G.A/A.G,
+  -0.8 for U.U, -0.4 otherwise -- the shape of the mismatchH table,
+  not its 300 tabulated entries).
+* **Stack** ((i,j) on (i+1,j-1)): Turner 2004 WC 4x4 table (exact
+  published values); wobble-involving entries are a documented
+  simplified set (single-GU -1.5, GU-on-GU -0.2..-0.6).
+* **Bulge** of size 1: ``BULGE_INIT(1)`` + the stack of the two closing
+  pairs (the helix continues through a single bulge; no AU penalties).
+* **Bulge** of size >= 2: ``BULGE_INIT(n)`` + AU penalty at both
+  closing pairs.
+* **Internal loop** n1 x n2 (both >= 1): 1x1 / 1x2 / 2x2 use flat
+  approximations of the int11/int21/int22 tables (0.5 / 2.0 / 1.4);
+  larger loops use ``INT_INIT(n1+n2)`` + Ninio asymmetry
+  ``min(3.0, 0.6*|n1-n2|)``; all plus AU penalties at both closing
+  pairs.  Loops with n1+n2 > MAXLOOP = 30 are not generated (ViennaRNA
+  applies the same cap).
+* **Multiloop**: affine ``a + b*(branches) + c*(unpaired)`` with
+  a = 3.40 (closing), b = 0.40 per stem including the closing stem,
+  c = 0.0 per unpaired base (Turner 2004 / ViennaRNA ML params), plus
+  an AU penalty per AU/GU stem end (closing pair and each branch).
+* **Exterior loop**: AU penalty per AU/GU branch closing pair.
+* No dangling ends / exterior or multiloop terminal mismatches (the
+  ``dangles=0`` model, a standard ViennaRNA option).
 
-    Qb(i,j) = w(i,j) * [ e^{-t(i,j)} * Q(i+1,j-1)
-                         + (e^{S} - e^{-t(i,j)-t(i+1,j-1)}) * Qb(i+1,j-1) ]
-    Q(i,j)  = Q(i,j-1) + sum_k Q(i,k-1) * Qb(k,j) * e^{-t(k,j)}
+The brute-force enumeration in ``tests/test_bpp_predict.py`` evaluates
+exactly this specification on explicit structures (an independent
+loop-decomposition evaluator) and pins Z and every pair probability.
 
-Q's helix entries carry the top-end penalty; Qb's content branch carries
-the bottom-end penalty; the stacked branch replaces the double-counted
-"inner pair via Q, both ends penalised" case with the stack bonus.  The
-brute-force enumeration in ``tests/test_bpp_predict.py`` pins these
-semantics exactly.
+Recursions (McCaskill with multiloops)
+======================================
+
+    Qb(i,j) = hairpin(i,j)
+            + sum_{interior (k,l)} e^{-Eint(i,j,k,l)/kT} Qb(k,l)
+            + e^{-(a+b+AU(i,j))/kT} sum_u Qm(i+1,u-1) Qm1(u,j-1)
+    Qm1(i,j) = Qm1(i,j-1) e^{-c/kT} + Qb(i,j) e^{-(b+AU(i,j))/kT}
+    Qm(i,j)  = sum_u [e^{-c(u-i)/kT} + Qm(i,u-1)] Qm1(u,j)
+    E(t)     = E(t-1) + sum_k E(k) Qb(k,t-1) e^{-AU(k,t-1)/kT}   (exterior)
+
+All arrays live in *scaled linear space*: a value covering L bases is
+divided by s^L, with ln(s) chosen (and retried on over/underflow) so
+float64 never leaves its exponent range -- ViennaRNA's own scaling
+approach (pf.c).  The outside pass is the mechanical adjoint of the
+inside ops, processed span-descending with push-style rank-1 updates
+onto strided views, so the whole inside+outside stays O(n^3) with
+O(MAXLOOP^2 n^2) for the interior sums.  p(i,j) = Qb(i,j)*adjQb(i,j)/Z
+(the scale factors cancel exactly).
 """
 
 from __future__ import annotations
 
-import functools
+import math
 from typing import Dict, Tuple
 
 import numpy as np
+from numpy.lib.stride_tricks import as_strided
 
-MIN_HAIRPIN = 3  # unpaired bases enclosed by a hairpin pair (ViennaRNA TURN)
-NEG = -1e30  # log-space "zero"
-KT37 = 0.6163  # kcal/mol at 37C
+MIN_HAIRPIN = 3   # unpaired bases enclosed by a hairpin pair (ViennaRNA TURN)
+MAXLOOP = 30      # max interior-loop size n1+n2 (ViennaRNA MAXLOOP)
+KT37 = 0.6163     # kcal/mol at 37C
 
 #: canonical pair types by (5' base, 3' base) Rna5 rank: AU CG GC UA GU UG
 PAIR_TYPES = ((0, 3), (1, 2), (2, 1), (3, 0), (2, 3), (3, 2))
@@ -85,206 +104,325 @@ _STACK_DG = np.array([
     [ _GU,   _GU,   _GU,   _GU,  -0.6,  -0.5],   # GU
     [ _GU,   _GU,   _GU,   _GU,  -0.2,  -0.6],   # UG
 ], dtype=np.float64)
-#: stack energies in kT (positive = stabilising), floor at 0.15 kT
-_STACK_KT_TAB = np.maximum(-_STACK_DG / KT37, 0.15)
-#: terminal helix-end penalty in kT per AU/UA/GU/UG closing pair
-_TERM_KT = np.array([0.73, 0.0, 0.0, 0.73, 0.73, 0.73], dtype=np.float64)
+
+#: terminal helix-end penalty (kcal/mol) per AU/UA/GU/UG closing pair
+_TERM_AU = np.array([0.45, 0.0, 0.0, 0.45, 0.45, 0.45], dtype=np.float64)
+
+#: Turner 2004 hairpin-loop initiation, sizes 3..30 (rna_turner2004.par)
+_HAIRPIN_DG = np.array([
+    5.40, 5.60, 5.70, 5.40, 6.00, 5.50, 6.40, 6.50, 6.60, 6.70, 6.78,
+    6.86, 6.94, 7.01, 7.07, 7.13, 7.19, 7.25, 7.30, 7.35, 7.40, 7.44,
+    7.49, 7.53, 7.57, 7.61, 7.65, 7.69,
+])
+#: Turner 2004 bulge initiation, sizes 1..30
+_BULGE_DG = np.array([
+    3.80, 2.80, 3.20, 3.60, 4.00, 4.40, 4.59, 4.70, 4.80, 4.90, 5.00,
+    5.10, 5.19, 5.27, 5.34, 5.41, 5.48, 5.54, 5.60, 5.65, 5.71, 5.76,
+    5.80, 5.85, 5.89, 5.94, 5.98, 6.02, 6.05, 6.09,
+])
+#: Turner 2004 internal-loop initiation, sizes 4..30 (1x1/1x2/2x2 special)
+_INTERNAL_DG = np.array([
+    1.10, 2.00, 2.00, 2.10, 2.30, 2.40, 2.50, 2.60, 2.70, 2.78, 2.86,
+    2.94, 3.01, 3.07, 3.13, 3.19, 3.25, 3.30, 3.35, 3.40, 3.45, 3.49,
+    3.53, 3.57, 3.61, 3.65, 3.69,
+])
+_LXC = 1.07856        # Jacobson-Stockmayer extrapolation coefficient
+_NINIO = 0.60         # internal-loop asymmetry per unit
+_NINIO_MAX = 3.00
+_INT11_DG = 0.50      # flat approximations of the int11/int21/int22 tables
+_INT21_DG = 2.00
+_INT22_DG = 1.40
+_ML_CLOSING = 3.40    # multiloop affine terms (ViennaRNA turner2004)
+_ML_BRANCH = 0.40     # per stem, including the closing stem
+_ML_UNPAIRED = 0.00
+
+#: hairpin first-mismatch bonus approximation (kcal/mol), 5x5 by Rna5 rank
+#: of (first, last) unpaired loop bases; G.A / A.G and U.U are the strong
+#: motifs of the mismatchH table
+_HP_MM_DG = np.full((5, 5), -0.40)
+_HP_MM_DG[2, 0] = _HP_MM_DG[0, 2] = -1.30   # G.A / A.G
+_HP_MM_DG[3, 3] = -0.80                     # U.U
+_HP_MM_DG[4, :] = 0.0
+_HP_MM_DG[:, 4] = 0.0                       # N mismatches: no bonus
+
+# ---- derived Boltzmann tables (kT units) ----
+_ESTACK = np.exp(-_STACK_DG / KT37)            # [6, 6]
+_EHP_MM = np.exp(-_HP_MM_DG / KT37)            # [5, 5]
+_AU_KT = _TERM_AU / KT37                       # [6]
+_EB1_STACK = np.exp(-(_BULGE_DG[0] + _STACK_DG) / KT37)  # bulge1 + stack
+_EB = math.exp(-_ML_BRANCH / KT37)             # per multiloop stem
+_CML = math.exp(-(_ML_CLOSING + _ML_BRANCH) / KT37)      # closing stem
+_EC_KT = _ML_UNPAIRED / KT37                   # per multiloop unpaired base
 
 
-def pair_log_weights(encoded: np.ndarray, pad_to: int | None = None) -> np.ndarray:
-    """[L', L'] log-weight matrix for an Rna5-encoded sequence: 0 for
-    canonical pairs (stability lives in the stack terms), ``NEG`` for
-    non-canonical pairs, pairs violating the hairpin minimum, and anything
-    touching padding (padding therefore contributes factor 1 to Z)."""
-    length = int(encoded.shape[0])
-    padded = length if pad_to is None else int(pad_to)
-    logw = np.full((padded, padded), NEG, dtype=np.float32)
-    logw[:length, :length] = np.where(
-        _PTYPE[np.ix_(encoded, encoded)] >= 0, 0.0, NEG)
-    ii, jj = np.meshgrid(np.arange(padded), np.arange(padded), indexing="ij")
-    logw[jj - ii <= MIN_HAIRPIN] = NEG
-    return logw
+def _interior_combos():
+    """[(d1, d2, Boltzmann factor)] for every interior-loop geometry except
+    the three per-cell-coefficient specials (stack, bulge-of-1): d1/d2 are
+    the unpaired counts on each side, the factor is exp(-E_len_asym/kT)
+    (closing-pair AU penalties ride separately on the eau matrices).
+    Grouped by total size so the diagonal sweep can stop early."""
+    by_total: list = [[] for _ in range(MAXLOOP + 1)]
+    for total in range(2, MAXLOOP + 1):
+        for d1 in range(0, total + 1):
+            d2 = total - d1
+            if (d1, d2) in ((0, 0), (0, 1), (1, 0)):
+                continue
+            if d1 == 0 or d2 == 0:
+                e = _BULGE_DG[total - 1]
+            elif d1 == 1 and d2 == 1:
+                e = _INT11_DG
+            elif (d1, d2) in ((1, 2), (2, 1)):
+                e = _INT21_DG
+            elif d1 == 2 and d2 == 2:
+                e = _INT22_DG
+            else:
+                e = (_INTERNAL_DG[min(total, MAXLOOP) - 4]
+                     + min(_NINIO_MAX, _NINIO * abs(d1 - d2)))
+            by_total[total].append((d1, d2, math.exp(-e / KT37)))
+    return by_total
 
 
-def energy_terms(encoded: np.ndarray, pad_to: int | None = None):
-    """(logw, logc, term) [L', L'] float32 matrices for the recursion.
+_COMBOS_BY_TOTAL = _interior_combos()
 
-    ``logc[i, j]`` = log(e^{S(i,j)} - e^{-t(i,j)-t(i+1,j-1)}) -- the
-    stacked-branch coefficient (always positive under the 0.15 kT floor);
-    ``term[i, j]`` = t(i, j), the terminal penalty of pair (i, j).
-    Entries for non-canonical (i, j) are inert (logw is NEG there).
-    """
-    length = int(encoded.shape[0])
-    padded = length if pad_to is None else int(pad_to)
-    logw = pair_log_weights(encoded, pad_to=padded)
-    pt = np.full((padded, padded), -1, np.int32)
-    pt[:length, :length] = _PTYPE[np.ix_(encoded, encoded)]
-    ptc = np.clip(pt, 0, len(PAIR_TYPES) - 1)
-    term = np.where(pt >= 0, _TERM_KT[ptc], 0.0)
-    # inner pair type at (i+1, j-1), shifted into place; borders inert
-    pt_in = np.full((padded, padded), 0, np.int32)
-    pt_in[:-1, 1:] = np.clip(pt[1:, :-1], 0, len(PAIR_TYPES) - 1)
-    t_in = np.zeros((padded, padded))
-    t_in[:-1, 1:] = np.where(pt[1:, :-1] >= 0, _TERM_KT[pt_in[:-1, 1:]], 0.0)
-    s_kt = _STACK_KT_TAB[ptc, pt_in]
-    logc = np.log(np.exp(s_kt) - np.exp(-(term + t_in)))
-    return (logw, logc.astype(np.float32), term.astype(np.float32))
+_BIG = 1e250
+_SMALL = 1e-250
 
 
-@functools.cache
-def _logz_grad_fn(length: int):
-    """Compiled ``(logw, logc, term) -> (logZ, d logZ / d logw)`` for a
-    fixed padded L."""
-    import jax
-    import jax.numpy as jnp
-
-    def _lse(a, b):
-        m = jnp.maximum(a, b)
-        m = jnp.maximum(m, NEG)  # keep -inf-ish values finite
-        return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
-
-    def _lse_reduce(t, axis):
-        m = jnp.maximum(jnp.max(t, axis=axis), NEG)
-        return m + jnp.log(jnp.sum(jnp.exp(t - jnp.expand_dims(m, axis)), axis=axis))
-
-    def logz(logw, logc, term):
-        n = length
-        idx = jnp.arange(n)
-        # logQ[i, j] = log partition of bases i..j; entries with j <= i are 0
-        # (empty / single unpaired base => exactly one structure of weight 1).
-        # Diagonals are filled in span order; unfilled cells are never read.
-        log_q = jnp.zeros((n, n), jnp.float32)
-        log_qb = jnp.full((n, n), NEG, jnp.float32)
-
-        def step(carry, d):
-            log_q, log_qb = carry
-            j_idx = jnp.clip(idx + d, 0, n - 1)
-            valid_i = idx + d <= n - 1
-            # Qb(i, j) = w * [e^{-t(i,j)} * Q(i+1, j-1)
-            #                 + (e^S - e^{-t(i,j)-t(in)}) * Qb(i+1, j-1)]
-            # (see module docstring); both lookups are span d-2
-            inner_i = jnp.clip(idx + 1, 0, n - 1)
-            inner_j = jnp.clip(idx + d - 1, 0, n - 1)
-            content = log_q[inner_i, inner_j] - term[idx, j_idx]
-            content = jnp.where(d >= 2, content, -term[idx, j_idx])
-            stacked = jnp.where(
-                d >= 2, logc[idx, j_idx] + log_qb[inner_i, inner_j], NEG)
-            qb_new = logw[idx, j_idx] + _lse(content, stacked)
-            qb_new = jnp.where(valid_i, qb_new, NEG)
-            log_qb = log_qb.at[idx, j_idx].set(
-                jnp.where(valid_i, qb_new, log_qb[idx, j_idx])
-            )
-            # Q(i, j) = Q(i, j-1) + sum_k Q(i, k-1) * Qb(k, j) * e^{-t(k,j)}
-            # T[i, k] = logQ[i, k-1] + logQb[k, i+d] - t(k, i+d)
-            q_km1 = jnp.concatenate(
-                [jnp.zeros((n, 1), jnp.float32), log_q[:, :-1]], axis=1
-            )
-            qb_cols = (log_qb - term)[:, j_idx]  # [k, i]
-            t = q_km1 + qb_cols.T
-            k_ge_i = idx[None, :] >= idx[:, None]
-            t = jnp.where(k_ge_i, t, NEG)
-            paired = _lse_reduce(t, axis=1)
-            q_new = _lse(log_q[idx, jnp.clip(idx + d - 1, 0, n - 1)], paired)
-            log_q = log_q.at[idx, j_idx].set(
-                jnp.where(valid_i, q_new, log_q[idx, j_idx])
-            )
-            return (log_q, log_qb), None
-
-        (log_q, _), _ = jax.lax.scan(
-            step, (log_q, log_qb), jnp.arange(1, n, dtype=jnp.int32)
-        )
-        return log_q[0, n - 1]
-
-    return jax.jit(jax.value_and_grad(logz, argnums=0))
+class _RescaleNeeded(Exception):
+    def __init__(self, new_ln_s: float):
+        super().__init__(f"rescale to ln_s={new_ln_s}")
+        self.new_ln_s = new_ln_s
 
 
-def _lse2(a, b):
-    """Elementwise log(exp(a) + exp(b)) with NEG-safe maxima."""
-    m = np.maximum(np.maximum(a, b), NEG)
-    return m + np.log(np.exp(a - m) + np.exp(b - m))
+def _sv(M: np.ndarray, flat0: int, si: int, st: int, ni: int, nt: int):
+    """Strided 2-D view into square matrix ``M``: V[i, t] = flat[flat0 +
+    i*si + t*st] (strides in elements).  Used for the triangular reads and
+    rank-1 pushes of the O(n^3) reductions."""
+    it = M.itemsize
+    flat = M.reshape(-1)
+    return as_strided(flat[flat0:], shape=(ni, nt), strides=(si * it, st * it))
 
 
-def _lse_reduce(t, axis):
-    m = np.maximum(t.max(axis=axis), NEG)
-    with np.errstate(divide="ignore"):  # all-NEG rows reduce to -inf, fine
-        return m + np.log(np.exp(t - np.expand_dims(m, axis)).sum(axis=axis))
+def _dv(M: np.ndarray, d: int):
+    """1-D writable view of diagonal span ``d``: V[i] = M[i, i+d]."""
+    n = M.shape[0]
+    it = M.itemsize
+    return as_strided(M.reshape(-1)[d:], shape=(n - d,),
+                      strides=((n + 1) * it,))
 
 
-def _bpp_matrix_numpy(logw: np.ndarray, logc: np.ndarray,
-                      term: np.ndarray) -> np.ndarray:
-    """Inside + outside McCaskill in log space (float64, vectorized).
+def _hairpin_kt(n: int) -> np.ndarray:
+    """Hairpin initiation in kT for loop sizes 0..n (inf below 3)."""
+    out = np.full(n + 1, np.inf)
+    hi = min(n, 30)
+    if hi >= 3:
+        out[3:hi + 1] = _HAIRPIN_DG[:hi - 2] / KT37
+    if n > 30:
+        sizes = np.arange(31, n + 1, dtype=np.float64)
+        out[31:] = (_HAIRPIN_DG[-1] + _LXC * np.log(sizes / 30.0)) / KT37
+    return out
 
-    Same energy model as :func:`_logz_grad_fn` (module docstring).  The
-    outside pass is the hand-derived adjoint of the inside recursion; the
-    pair probability is ``p(i,j) = exp(adjQb(i,j) + logQb(i,j) - logZ)``.
-    """
-    n = logw.shape[0]
-    logw = logw.astype(np.float64)
-    logc = logc.astype(np.float64)
-    term = term.astype(np.float64)
-    log_q = np.zeros((n, n))        # Q(i,j); cells with j <= i stay log(1)=0
-    log_qb = np.full((n, n), NEG)
 
-    idx = np.arange(n)
-    for d in range(1, n):
-        i = idx[: n - d]
-        j = i + d
-        if d >= 2:
-            content = log_q[i + 1, j - 1] - term[i, j]
-            stacked = logc[i, j] + log_qb[i + 1, j - 1]
-        else:
-            content = -term[i, j]
-            stacked = np.full(n - d, NEG)
-        log_qb[i, j] = logw[i, j] + _lse2(content, stacked)
-        # T[i, k] = Q(i, k-1) + Qb(k, j(i)) - t(k, j(i)), k in [i, j]
-        q_km1 = np.concatenate(
-            [np.zeros((n - d, 1)), log_q[: n - d, : n - 1]], axis=1)
-        t = q_km1 + (log_qb - term)[:, j].T   # [n-d rows, n cols]
-        k = idx[None, :]
-        mask = (k >= i[:, None]) & (k <= j[:, None])
-        t = np.where(mask, t, NEG)
-        paired = _lse_reduce(t, axis=1)
-        log_q[i, j] = _lse2(log_q[i, j - 1], paired)
+def _inside_outside(enc: np.ndarray, ln_s: float):
+    """One scaled inside+outside pass; returns (probs [n,n] upper-tri,
+    log Z).  Raises _RescaleNeeded when float64 range is exceeded."""
+    n = int(enc.shape[0])
+    pt = _PTYPE[enc[:, None], enc[None, :]]               # [n, n]
+    ptc = np.clip(pt, 0, 5)
+    eau = np.where(pt >= 0, np.exp(-_AU_KT[ptc]), 1.0)    # [n, n]
+    spow = np.exp(-ln_s * np.arange(n + 2, dtype=np.float64))
+    ecs = math.exp(-_EC_KT) * spow[1]                      # ML unpaired base
+    ecspow = np.exp(-(_EC_KT + ln_s) * np.arange(n + 1, dtype=np.float64))
+    hp_kt = _hairpin_kt(n)
 
-    log_z = log_q[0, n - 1]
+    Qb = np.zeros((n, n))
+    QbA = np.zeros((n, n))   # Qb * eau (branch form)
+    Qm = np.zeros((n, n))
+    Qm1 = np.zeros((n, n))
 
-    # outside: reverse column sweep; adjQ(0, n-1) = log(1)
-    adj_q = np.full((n, n), NEG)
-    adj_qb = np.full((n, n), NEG)
-    adj_q[0, n - 1] = 0.0
-    # Q(i, k-1) with the empty case k == i -> log(1)
-    q_km1_full = np.concatenate([np.zeros((n, 1)), log_q[:, : n - 1]], axis=1)
-    # column n-1 first (pairs ending at the last base): only (d) applies
-    t = adj_q[:, n - 1][:, None] + q_km1_full
-    t = np.where(idx[:, None] <= idx[None, :], t, NEG)
-    adj_qb[:, n - 1] = _lse_reduce(t, axis=0) - term[:, n - 1]
-    for j in range(n - 2, -1, -1):
-        # (a) from Q(i, j+1)'s unpaired-j+1 term
-        acc = adj_q[:, j + 1].copy()
-        # (b) from Q(i, j') sums with k-1 == j: adjQ(i,j) += sum_{j'>j}
-        #     adjQ(i,j') * Qb(j+1, j') * e^{-t(j+1, j')}
-        t = adj_q[:, j + 1:] + (log_qb - term)[j + 1, j + 1:][None, :]
-        acc = _lse2(acc, _lse_reduce(t, axis=1))
-        # (c) content term of Qb(i-1, j+1), bottom-end penalty included
-        c = np.full(n, NEG)
-        c[1:] = adj_qb[: n - 1, j + 1] + logw[: n - 1, j + 1] \
-            - term[: n - 1, j + 1]
-        adj_q[:, j] = _lse2(acc, c)
-        if j >= 1:
-            # (d) adjQb(k, j) += sum_{i <= k} adjQ(i, j) * Q(i, k-1),
-            #     with the top-end penalty e^{-t(k, j)}
-            t = adj_q[:, j][:, None] + q_km1_full  # [i, k]
-            t = np.where(idx[:, None] <= idx[None, :], t, NEG)
-            accb = _lse_reduce(t, axis=0) - term[:, j]
-            # (e) stacking chain from Qb(k-1, j+1)
-            e = np.full(n, NEG)
-            e[1:] = adj_qb[: n - 1, j + 1] + logw[: n - 1, j + 1] \
-                + logc[: n - 1, j + 1]
-            adj_qb[:, j] = _lse2(accb, e)
+    # ---- inside, span ascending ----
+    for d in range(MIN_HAIRPIN + 1, n):
+        ld = n - d
+        pt_d = _dv(pt, d)
+        ok = pt_d >= 0
+        eau_d = _dv(eau, d)
+        # hairpin: init(size) + AU + first-mismatch bonus (size >= 4)
+        size = d - 1
+        hp = np.where(ok, math.exp(-hp_kt[size]) * spow[d + 1], 0.0)
+        hp *= eau_d
+        if size >= 4:
+            hp = hp * _EHP_MM[enc[1:1 + ld], enc[d - 1:d - 1 + ld]]
+        acc = hp
+        # generic interior geometries: scalar coefficient x shifted inner
+        # diagonal of QbA (inner AU inside QbA, outer applied after)
+        gen = np.zeros(ld)
+        max_total = min(MAXLOOP, d - 2 - (MIN_HAIRPIN + 1))
+        for total in range(2, max_total + 1):
+            din = d - total - 2
+            coef_scale = spow[total + 2]
+            src = _dv(QbA, din)
+            for (d1, d2, ebz) in _COMBOS_BY_TOTAL[total]:
+                gen += (ebz * coef_scale) * src[d1 + 1: d1 + 1 + ld]
+        acc = acc + gen * eau_d
+        # stack (0,0): per-cell pair-type coefficient, no AU
+        if d - 2 >= MIN_HAIRPIN + 1:
+            pin = _dv(pt, d - 2)[1:1 + ld]
+            est = _ESTACK[ptc[np.arange(ld), np.arange(ld) + d],
+                          np.clip(pin, 0, 5)]
+            acc = acc + np.where(pin >= 0, est, 0.0) * spow[2] \
+                * _dv(Qb, d - 2)[1:1 + ld]
+        # bulge of 1 (keeps the closing stack, no AU)
+        if d - 3 >= MIN_HAIRPIN + 1:
+            qin = _dv(Qb, d - 3)
+            pin3 = _dv(pt, d - 3)
+            po = ptc[np.arange(ld), np.arange(ld) + d]
+            for off in (1, 2):   # (d1,d2) = (0,1) then (1,0)
+                pin = pin3[off:off + ld]
+                eb1 = _EB1_STACK[po, np.clip(pin, 0, 5)]
+                acc = acc + np.where(pin >= 0, eb1, 0.0) * spow[3] \
+                    * qin[off:off + ld]
+        # multiloop closing: cml * sum_u Qm(i+1,u-1) * Qm1(u,j-1)
+        if d >= 11:
+            w = d - 3                       # tau = u-i-2 in [0, d-4]
+            wa = _sv(Qm, n + 1, n + 1, 1, ld, w)          # Qm[i+1, i+1+tau]
+            wb = _sv(Qm1, 2 * n + d - 1, n + 1, n, ld, w)  # Qm1[i+2+tau, i+d-1]
+            ml = np.einsum("it,it->i", wa, wb)
+            acc = acc + (_CML * spow[2]) * eau_d * ml
+        qb_d = np.where(ok, acc, 0.0)
+        mx = qb_d.max() if ld else 0.0
+        if not np.isfinite(mx) or mx > _BIG:
+            bump = (math.log(mx) / (d + 1)
+                    if np.isfinite(mx) and mx > 0 else 600.0 / (d + 1))
+            raise _RescaleNeeded(ln_s + bump)
+        _dv(Qb, d)[:] = qb_d
+        _dv(QbA, d)[:] = qb_d * eau_d
+        # Qm1(i, i+d) = Qm1(i, i+d-1)*ecs + QbA(i, i+d)*eb
+        _dv(Qm1, d)[:] = _dv(Qm1, d - 1)[:ld] * ecs + _dv(QbA, d) * _EB
+        # Qm(i, i+d) = sum_t ecspow[t]*Qm1[i+t, i+d]
+        #            + sum_{t>=1} Qm[i, i+t-1]*Qm1[i+t, i+d]
+        va = _sv(Qm1, d, n + 1, n, ld, d + 1)             # Qm1[i+t, i+d]
+        term1 = va @ ecspow[:d + 1]
+        vb = _sv(Qm, 0, n + 1, 1, ld, d)                  # Qm[i, i+t']
+        vc = _sv(Qm1, n + d, n + 1, n, ld, d)             # Qm1[i+t'+1, i+d]
+        term2 = np.einsum("it,it->i", vb, vc)
+        _dv(Qm, d)[:] = term1 + term2
 
-    probs = np.exp(np.clip(adj_qb + log_qb - log_z, -745.0, 0.0))
-    probs[log_qb <= NEG / 2] = 0.0
-    return probs
+    # ---- exterior prefix/suffix ----
+    E = np.zeros(n + 1)
+    E[0] = 1.0
+    for t in range(1, n + 1):
+        j = t - 1
+        val = E[t - 1] * spow[1]
+        if j >= MIN_HAIRPIN + 1:
+            val += float(np.dot(E[:j - MIN_HAIRPIN], QbA[:j - MIN_HAIRPIN, j]))
+        if val > _BIG:
+            raise _RescaleNeeded(ln_s + math.log(val) / t)
+        E[t] = val
+    z = E[n]
+    if z < _SMALL:
+        shift = math.log(z) / n if z > 0.0 else -650.0 / n
+        raise _RescaleNeeded(ln_s + shift)
+    S = np.zeros(n + 1)
+    S[n] = 1.0
+    for t in range(n - 1, -1, -1):
+        val = S[t + 1] * spow[1]
+        if t <= n - (MIN_HAIRPIN + 2):
+            val += float(np.dot(QbA[t, t + MIN_HAIRPIN + 1:n],
+                                S[t + MIN_HAIRPIN + 2:n + 1]))
+        S[t] = val
+
+    # ---- outside (adjoint), span descending ----
+    bQb = np.zeros((n, n))
+    bQbA = np.zeros((n, n))
+    bQm = np.zeros((n, n))
+    bQm1 = np.zeros((n, n))
+    for d in range(n - 1, MIN_HAIRPIN, -1):
+        ld = n - d
+        # 1) bQm(d) is final: push to smaller bQm and to bQm1
+        bqm_d = _dv(bQm, d).copy()
+        if bqm_d.any():
+            if d >= 1:
+                tgt = _sv(bQm, 0, n + 1, 1, ld, d)         # bQm[i, i+tau]
+                fac = _sv(Qm1, n + d, n + 1, n, ld, d)     # Qm1[i+tau+1, i+d]
+                tgt += bqm_d[:, None] * fac
+            tgtb = _sv(bQm1, d, n + 1, n, ld, d + 1)       # bQm1[i+tau, i+d]
+            amat = np.empty((ld, d + 1))
+            amat[:, :] = ecspow[None, :d + 1]
+            if d >= 1:
+                amat[:, 1:] += _sv(Qm, 0, n + 1, 1, ld, d)  # Qm[i, i+tau-1]
+            tgtb += bqm_d[:, None] * amat
+        # 2) bQm1(d) final: push the unpaired-base chain down one span
+        bqm1_d = _dv(bQm1, d)
+        if d >= 1:
+            _dv(bQm1, d - 1)[:ld] += bqm1_d * ecs
+        # 3) bQb(d): exterior + interior pulls + multiloop-branch source
+        eau_d = _dv(eau, d)
+        tot = E[:ld] * S[d + 1:d + 1 + ld] * eau_d
+        gen = np.zeros(ld)
+        for total in range(2, MAXLOOP + 1):
+            dout = d + total + 2
+            if dout > n - 1:
+                break
+            coef_scale = spow[total + 2]
+            src = _dv(bQbA, dout)           # len n - dout = ld - total - 2
+            for (d1, d2, ebz) in _COMBOS_BY_TOTAL[total]:
+                gen[d1 + 1: ld - d2 - 1] += (ebz * coef_scale) * src
+        tot = tot + gen * eau_d
+        if d + 2 <= n - 1:                  # enclosed by a stack
+            src = _dv(bQb, d + 2)           # len ld - 2
+            po = _dv(pt, d + 2)
+            pk = ptc[np.arange(1, ld - 1), np.arange(1, ld - 1) + d]
+            est = _ESTACK[np.clip(po, 0, 5), pk]
+            tot[1:ld - 1] += np.where(po >= 0, est, 0.0) * spow[2] * src
+        if d + 3 <= n - 1:                  # enclosed across a bulge of 1
+            src = _dv(bQb, d + 3)           # len ld - 3
+            po3 = _dv(pt, d + 3)
+            for off in (2, 1):              # outer (d1,d2) = (1,0) / (0,1)
+                pk = ptc[np.arange(off, off + ld - 3),
+                         np.arange(off, off + ld - 3) + d]
+                eb1 = _EB1_STACK[np.clip(po3, 0, 5), pk]
+                tot[off:off + ld - 3] += np.where(po3 >= 0, eb1, 0.0) \
+                    * spow[3] * src
+        tot = tot + bqm1_d * eau_d * _EB
+        # the inside masks Qb to canonical cells; the adjoint must carry the
+        # same mask, or non-pairs (which still receive exterior adjoints)
+        # would leak through the interior/multiloop pulls
+        tot = np.where(_dv(pt, d) >= 0, tot, 0.0)
+        mx = np.abs(tot).max() if ld else 0.0
+        if not np.isfinite(mx) or mx > _BIG:
+            raise _RescaleNeeded(ln_s - 0.25)
+        _dv(bQb, d)[:] = tot
+        _dv(bQbA, d)[:] = tot * eau_d
+        # 4) push bQb(d)'s multiloop content to bQm / bQm1
+        if d >= 11:
+            w = d - 3
+            wvec = tot * (_CML * spow[2]) * eau_d
+            if wvec.any():
+                t1 = _sv(bQm, n + 1, n + 1, 1, ld, w)       # bQm[I+1, I+1+tau]
+                f1 = _sv(Qm1, 2 * n + d - 1, n + 1, n, ld, w)
+                t1 += wvec[:, None] * f1
+                t2 = _sv(bQm1, 2 * n + d - 1, n + 1, n, ld, w)
+                f2 = _sv(Qm, n + 1, n + 1, 1, ld, w)
+                t2 += wvec[:, None] * f2
+
+    with np.errstate(invalid="ignore", over="ignore"):
+        probs = Qb * bQb / z
+    probs = np.clip(np.nan_to_num(probs, nan=0.0), 0.0, 1.0)
+    return probs, math.log(z) + n * ln_s
+
+
+def _log_partition_and_bpp(enc: np.ndarray):
+    """(probs, logZ) with automatic scale retries (at most a handful: each
+    retry re-estimates ln(s) from the observed over/underflow)."""
+    ln_s = 0.6
+    for _ in range(8):
+        try:
+            return _inside_outside(enc, ln_s)
+        except _RescaleNeeded as e:
+            new = e.new_ln_s
+            # nudge past the boundary so the retry has headroom
+            ln_s = new + (0.05 if new > ln_s else -0.05)
+    raise RuntimeError("bpp scale estimation did not converge")
 
 
 def basepair_probability_matrix(sequence: str) -> np.ndarray:
@@ -295,8 +433,8 @@ def basepair_probability_matrix(sequence: str) -> np.ndarray:
     length = int(encoded.shape[0])
     if length < MIN_HAIRPIN + 2:
         return np.zeros((length, length), np.float32)
-    logw, logc, term = energy_terms(encoded)
-    probs = _bpp_matrix_numpy(logw, logc, term)[:length, :length].astype(np.float32)
+    probs, _ = _log_partition_and_bpp(encoded)
+    probs = probs.astype(np.float32)
     probs = np.clip(probs + probs.T, 0.0, 1.0)  # upper-triangular input
     return probs
 

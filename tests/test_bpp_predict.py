@@ -1,6 +1,13 @@
-"""Built-in McCaskill predictor vs. brute-force structure enumeration."""
+"""Built-in McCaskill predictor vs. brute-force structure enumeration.
 
-import itertools
+``_loop_energy`` below is an INDEPENDENT implementation of the module
+docstring's energy specification: it decomposes an explicit structure
+into loops (hairpin / stack / bulge / internal / multiloop / exterior)
+and sums the tabulated free energies directly -- no shared recursion
+code with the predictor.  Enumerating every nested structure then pins
+the partition function and every pair probability exactly.
+"""
+
 import math
 
 import numpy as np
@@ -43,23 +50,83 @@ def enumerate_structures(seq):
     return rec(0, n - 1)
 
 
-def brute_force_bpp(seq):
-    """Turner-lite model: per-stack energies + terminal AU/GU penalties at
-    both helix ends; bare pairs carry no energy (bpp_predict docstring)."""
+def _nesting(pairs):
+    """(roots, children) of a non-crossing pair set."""
+    children = {p: [] for p in pairs}
+    roots = []
+    stack = []
+    for p in sorted(pairs):
+        while stack and p[0] > stack[-1][1]:
+            stack.pop()
+        (children[stack[-1]] if stack else roots).append(p)
+        stack.append(p)
+    return roots, children
+
+
+def _au(seq, i, j):
+    return float(bpp_predict._TERM_AU[_ptype(seq, i, j)])
+
+
+def _loop_energy(seq, pairs):
+    """kcal/mol of one explicit structure by loop decomposition
+    (independent implementation of the bpp_predict docstring spec)."""
+    roots, children = _nesting(pairs)
+    e = sum(_au(seq, i, j) for (i, j) in roots)       # exterior branches
+    for (i, j) in pairs:
+        kids = children[(i, j)]
+        if not kids:
+            u = j - i - 1                              # hairpin
+            if u <= 30:
+                e += float(bpp_predict._HAIRPIN_DG[u - 3])
+            else:
+                e += float(bpp_predict._HAIRPIN_DG[-1]) \
+                    + bpp_predict._LXC * math.log(u / 30.0)
+            e += _au(seq, i, j)
+            if u >= 4:
+                e += float(bpp_predict._HP_MM_DG[
+                    _RANK[seq[i + 1]], _RANK[seq[j - 1]]])
+        elif len(kids) == 1:
+            (k, l) = kids[0]
+            d1, d2 = k - i - 1, j - l - 1
+            total = d1 + d2
+            po, pi = _ptype(seq, i, j), _ptype(seq, k, l)
+            if total == 0:                             # stack
+                e += float(bpp_predict._STACK_DG[po, pi])
+            elif total == 1:                           # bulge of 1 + stack
+                e += float(bpp_predict._BULGE_DG[0]) \
+                    + float(bpp_predict._STACK_DG[po, pi])
+            elif total > bpp_predict.MAXLOOP:
+                return math.inf                        # outside the model
+            elif d1 == 0 or d2 == 0:                   # bulge >= 2
+                e += float(bpp_predict._BULGE_DG[total - 1]) \
+                    + _au(seq, i, j) + _au(seq, k, l)
+            else:                                      # internal loop
+                if (d1, d2) == (1, 1):
+                    e += bpp_predict._INT11_DG
+                elif (d1, d2) in ((1, 2), (2, 1)):
+                    e += bpp_predict._INT21_DG
+                elif (d1, d2) == (2, 2):
+                    e += bpp_predict._INT22_DG
+                else:
+                    e += float(bpp_predict._INTERNAL_DG[total - 4]) \
+                        + min(bpp_predict._NINIO_MAX,
+                              bpp_predict._NINIO * abs(d1 - d2))
+                e += _au(seq, i, j) + _au(seq, k, l)
+        else:                                          # multiloop
+            e += bpp_predict._ML_CLOSING \
+                + bpp_predict._ML_BRANCH * (len(kids) + 1) \
+                + _au(seq, i, j) \
+                + sum(_au(seq, k, l) for (k, l) in kids)
+            u = (j - i - 1) - sum(l - k + 1 for (k, l) in kids)
+            e += bpp_predict._ML_UNPAIRED * u
+    return e
+
+
+def brute_force(seq):
+    """(pair -> probability, Z) over the full enumerated ensemble."""
     structures = enumerate_structures(seq)
-    weights = []
-    for s in structures:
-        logw = 0.0
-        for (i, j) in s:
-            p = _ptype(seq, i, j)
-            if (i + 1, j - 1) in s:  # stacked on the enclosed pair
-                logw += float(bpp_predict._STACK_KT_TAB[
-                    p, _ptype(seq, i + 1, j - 1)])
-            else:                    # helix bottom end
-                logw -= float(bpp_predict._TERM_KT[p])
-            if (i - 1, j + 1) not in s:  # helix top end
-                logw -= float(bpp_predict._TERM_KT[p])
-        weights.append(math.exp(logw))
+    weights = [math.exp(-_loop_energy(seq, s) / bpp_predict.KT37)
+               for s in structures]
     z = sum(weights)
     probs = {}
     for s, w in zip(structures, weights):
@@ -68,50 +135,74 @@ def brute_force_bpp(seq):
     return probs, z
 
 
-@pytest.mark.parametrize("seq", [
+SEQS = [
     "GGGCAAACGCCC",
     "GCAUCUAUGC",
     "AUAUAUAU",
     "GGGGAAAACCCC",
     "ACGUACGUACGUAC",
-])
+    "GGGAGGAAACCUCCC",          # bulges + internal loops
+    "GGCAGGGAAACCCAAGGGAAACCCGCC",  # multiloop (two stems under a helix)
+    "GCGGAAAUCAAGCUUCGAC",
+]
+
+
+@pytest.mark.parametrize("seq", SEQS)
 def test_bpp_matches_brute_force(seq):
-    expected, z = brute_force_bpp(seq)
+    expected, _ = brute_force(seq)
     probs = bpp_predict.basepair_probability_matrix(seq)
     n = len(seq)
     for i in range(n):
         for j in range(i + 1, n):
             want = expected.get((i, j), 0.0)
-            assert probs[i, j] == pytest.approx(want, abs=2e-4), (i, j)
+            assert probs[i, j] == pytest.approx(want, abs=1e-6), (i, j)
 
 
-def test_logz_matches_brute_force():
-    seq = "GGGCAAACGCCC"
-    _, z = brute_force_bpp(seq)
+@pytest.mark.parametrize("seq", SEQS[:4] + SEQS[5:7])
+def test_logz_matches_brute_force(seq):
     from lara_tpu.scoring.ribosum import encode_rna5
 
-    padded = -(-len(seq) // 32) * 32
-    logw, logc, term = bpp_predict.energy_terms(encode_rna5(seq),
-                                               pad_to=padded)
-    logz, _ = bpp_predict._logz_grad_fn(padded)(logw, logc, term)
-    assert float(logz) == pytest.approx(math.log(z), abs=1e-3)
+    _, z = brute_force(seq)
+    _, logz = bpp_predict._log_partition_and_bpp(encode_rna5(seq))
+    assert logz == pytest.approx(math.log(z), abs=1e-9)
 
 
-def test_numpy_matches_autodiff_oracle():
-    """The production NumPy inside-outside equals the jax.grad-through-scan
-    oracle (the derivative identity p = dlogZ/dlogw)."""
-    from lara_tpu.scoring.ribosum import encode_rna5
-
-    rng = np.random.default_rng(7)
-    for length in (12, 27):
+def test_random_sequences_match_brute_force():
+    rng = np.random.default_rng(11)
+    for length in (10, 13, 16, 18):
         seq = "".join("ACGU"[k] for k in rng.integers(0, 4, length))
-        enc = encode_rna5(seq)
-        logw, logc, term = bpp_predict.energy_terms(enc, pad_to=32)
-        _, grad = bpp_predict._logz_grad_fn(32)(logw, logc, term)
-        g = np.asarray(grad)[:length, :length]
-        p = bpp_predict._bpp_matrix_numpy(
-            *bpp_predict.energy_terms(enc))[:length, :length]
-        assert np.abs(p - g).max() < 2e-4
+        expected, z = brute_force(seq)
+        if z == 0.0:
+            continue
+        probs = bpp_predict.basepair_probability_matrix(seq)
+        for (i, j), want in expected.items():
+            assert probs[i, j] == pytest.approx(want, abs=1e-6), (seq, i, j)
+
+
+def test_scale_invariance():
+    """Two forced scale factors give identical probabilities -- pins the
+    s^L bookkeeping of every recursion term."""
+    from lara_tpu.scoring.ribosum import encode_rna5
+
+    rng = np.random.default_rng(3)
+    seq = "".join("ACGU"[k] for k in rng.integers(0, 4, 60))
+    enc = encode_rna5(seq)
+    p1, z1 = bpp_predict._inside_outside(enc, 0.25)
+    p2, z2 = bpp_predict._inside_outside(enc, 1.30)
+    assert z1 == pytest.approx(z2, abs=1e-8)
+    assert np.abs(p1 - p2).max() < 1e-9
+
+
+def test_long_sequence_rescale_path():
+    """A 400nt sequence exercises the automatic scale-retry logic."""
+    rng = np.random.default_rng(5)
+    seq = "".join("ACGU"[k] for k in rng.integers(0, 4, 400))
+    probs = bpp_predict.basepair_probability_matrix(seq)
+    assert np.all(np.isfinite(probs))
+    assert probs.min() >= 0.0 and probs.max() <= 1.0
+    assert probs.max() > 0.05          # something pairs in 400 random nt
+    # row marginals are probabilities of "base i is paired": bounded by 1
+    assert probs.sum(axis=1).max() <= 1.0 + 1e-6
 
 
 def test_short_sequence_no_pairs():
@@ -125,7 +216,7 @@ def test_probability_dict_filters_zeros():
     assert probs, "expected at least one base pair"
     assert all(0.0 < p <= 1.0 for p in probs.values())
     assert all(i < j for (i, j) in probs)
-    # the outermost stem pair should be confidently present
+    # the innermost stem pair should be confidently present
     assert probs[(3, 8)] > 0.5
 
 
