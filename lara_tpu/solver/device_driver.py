@@ -116,11 +116,42 @@ def solve_all(store, pairs: Sequence[Tuple[int, int]], params: Parameters
     #: B * LA * LB cells at ~16 bytes live state (pssm + skew + dirs)
     cell_budget = 128 * 1024 * 1024
 
+    tasks: List[Tuple[int, int, List[Tuple[int, int]]]] = []
     for (la_max, lb_max), bucket_pairs in sorted(buckets.items(), reverse=True):
         max_batch = max(1, min(DEFAULT_MAX_BATCH, cell_budget // (la_max * lb_max)))
         for start in range(0, len(bucket_pairs), max_batch):
-            chunk = bucket_pairs[start : start + max_batch]
+            tasks.append((la_max, lb_max,
+                          bucket_pairs[start : start + max_batch]))
+
+    if len(tasks) <= 1 or os.environ.get("LARA_NO_PIPELINE"):
+        for (la_max, lb_max, chunk) in tasks:
             yield from _solve_chunk(store, chunk, params, la_max, lb_max)
+        return
+
+    # ---- cross-chunk pipeline (the reference's workers never idle,
+    # subgradient_solver.hpp:206-331; here the host prepares chunk k+1 --
+    # edge filter, model build, packing, upload -- while chunk k's
+    # subgradient loop runs on device in a background thread).  Device work
+    # still serialises on the one core; what's hidden is the host share. ----
+    with ThreadPoolExecutor(max_workers=1) as solver_thread:
+        pending = None
+        for (la_max, lb_max, chunk) in tasks:
+            prep = _prepare_chunk(store, chunk, params, la_max, lb_max)
+            if pending is not None:
+                yield from pending.result()
+                pending = None
+            if isinstance(prep, _Prepared):
+                pending = solver_thread.submit(
+                    lambda p=prep: list(_run_packed(p, store, params)))
+            else:
+                # oversized for double-buffered HBM residency: solve
+                # synchronously (the build above still overlapped the
+                # previous chunk's device time)
+                models, las, lbs = prep
+                yield from _solve_models(store, chunk, models, params,
+                                         la_max, lb_max, las, lbs)
+        if pending is not None:
+            yield from pending.result()
 
 
 def _build_workers(params: Parameters) -> int:
@@ -165,12 +196,12 @@ def _unpack_filter(packed_np: np.ndarray, la_max: int, lb_max: int):
     return active, packed_np[:, -1]
 
 
-def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
-                 ) -> Iterator[PairResult]:
-    import jax.numpy as jnp
-
+def _filter_and_build(store, chunk, params: Parameters, la_max: int,
+                      lb_max: int):
+    """Device edge filter + host model build for one chunk:
+    (models, las, lbs)."""
     from lara_tpu.ops import gotoh
-    from lara_tpu.solver import device_solver
+    from lara_tpu.utils import timing
 
     b = len(chunk)
     go, ge = int(params.gap_open_int), int(params.gap_extend_int)
@@ -188,7 +219,6 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
         seq_b[k, : len(eb)] = eb
 
     log(2, f"     device chunk: {b} pairs padded to {la_max}x{lb_max}")
-    from lara_tpu.utils import timing
 
     with timing.phase("edge filter (device)"):
         active_dev, opt_dev = gotoh.edge_filter_batch(
@@ -215,24 +245,53 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
         else:
             models = [build(kp) for kp in enumerate(chunk)]
 
+    return models, las, lbs
+
+
+def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
+                 ) -> Iterator[PairResult]:
+    models, las, lbs = _filter_and_build(store, chunk, params, la_max, lb_max)
     yield from _solve_models(store, chunk, models, params, la_max, lb_max,
                              las, lbs)
 
 
+def _prepare_chunk(store, chunk, params: Parameters, la_max: int,
+                   lb_max: int):
+    """Pipeline front half: filter + build + pack + upload.  Returns a
+    :class:`_Prepared` ready for the solver thread, or the raw
+    (models, las, lbs) tuple when the chunk is too large to double-buffer
+    in HBM (caller then solves it synchronously via :func:`_solve_models`,
+    which also handles the split-in-half guard)."""
+    models, las, lbs = _filter_and_build(store, chunk, params, la_max, lb_max)
+    dcap = _chunk_dcap(models)
+    if len(chunk) > 1 and _chunk_est_bytes(
+            len(chunk), la_max, lb_max, dcap) > 3_000_000_000:
+        return models, las, lbs
+    return _pack_models(store, chunk, models, params, la_max, lb_max,
+                        las, lbs, dcap)
+
+
 @functools.lru_cache(maxsize=64)
 def _get_unpack_model(ne: int, d: int, la_max: int, lb_max: int,
-                      packed: bool, nk: int = 5):
+                      mode: str, nk: int = 5):
     """Jitted slicer: one uploaded int32 buffer -> BatchModel device arrays
     (the per-array uploads each paid a tunnel round trip).  lru-cached per
     shape class: rebuilding the jit object per chunk retraced+recompiled.
 
-    ``packed`` (requires ne, d <= 32768): the upload carries sequences
-    instead of the dense seq-score grid (recomputed on device by an exact
-    one-hot MXU lookup -- f32 products of int-valued operands < 2^24 are
-    exact, and the single scale multiply + trunc matches the host's
-    float32 math bit-for-bit) and the dual table's (l, m) / (rev, qrank)
-    columns share one word each.  Measured: the upload drops ~10 MB ->
-    ~3.4 MB at bench scale, most of the 0.16 s model-packing phase."""
+    ``mode``:
+    * ``"packed15"`` (requires ne, d <= 32768): the upload carries
+      sequences instead of the dense seq-score grid (recomputed on device
+      by an exact one-hot MXU lookup -- f32 products of int-valued
+      operands < 2^24 are exact, and the single scale multiply + trunc
+      matches the host's float32 math bit-for-bit) and the dual table's
+      (l, m) / (rev, qrank) columns share one word each.  Measured: the
+      upload drops ~10 MB -> ~3.4 MB at bench scale.
+    * ``"packed_seq"``: same device-side seq-score rebuild but full-width
+      dual columns (flat edge ids exceed 15 bits).  For long pairs this
+      removes the dominant transfer entirely: the dense [B, LA, LB] grid
+      (~300 MB at 16S batch width) never crosses the tunnel.
+    * ``"full"``: dense grid in the buffer (multi-device raw path only).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -240,7 +299,7 @@ def _get_unpack_model(ne: int, d: int, la_max: int, lb_max: int,
 
     nw = ne // 32
 
-    if not packed:
+    if mode == "full":
         @jax.jit
         def unpack(buf, submat_f):
             seq_score = buf[:, :ne]
@@ -266,6 +325,8 @@ def _get_unpack_model(ne: int, d: int, la_max: int, lb_max: int,
 
         return unpack
 
+    packed15 = mode == "packed15"
+
     @jax.jit
     def unpack(buf, submat_f):
         bp = buf.shape[0]
@@ -274,10 +335,22 @@ def _get_unpack_model(ne: int, d: int, la_max: int, lb_max: int,
                    >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])
                   & 1).astype(bool).reshape(bp, ne)
         off = nw
-        lm = buf[:, off:off + d]
-        sscore = buf[:, off + d:off + 2 * d]
-        rq = buf[:, off + 2 * d:off + 3 * d]
-        off += 3 * d
+        if packed15:
+            lm = buf[:, off:off + d]
+            sscore = buf[:, off + d:off + 2 * d]
+            rq = buf[:, off + 2 * d:off + 3 * d]
+            off += 3 * d
+            dual_l = lm >> 15
+            dual_m = lm & 0x7FFF
+            rev = rq >> 15
+            qrank = rq & 0x7FFF
+        else:
+            dual_l = buf[:, off:off + d]
+            dual_m = buf[:, off + d:off + 2 * d]
+            sscore = buf[:, off + 2 * d:off + 3 * d]
+            rev = buf[:, off + 3 * d:off + 4 * d]
+            qrank = buf[:, off + 4 * d:off + 5 * d]
+            off += 5 * d
         sa = buf[:, off:off + la_max]
         sb = buf[:, off + la_max:off + la_max + lb_max]
         off += la_max + lb_max
@@ -285,10 +358,6 @@ def _get_unpack_model(ne: int, d: int, la_max: int, lb_max: int,
         la = buf[:, off + 1]
         lb = buf[:, off + 2]
         nd = buf[:, off + 3]
-        dual_l = lm >> 15
-        dual_m = lm & 0x7FFF
-        rev = rq >> 15
-        qrank = rq & 0x7FFF
         dvalid = jnp.arange(d, dtype=jnp.int32)[None, :] < nd[:, None]
         ranks = jnp.arange(nk, dtype=jnp.int32)
         oh_a = (sa[:, :, None] == ranks).astype(jnp.float32)
@@ -333,8 +402,66 @@ def _pack_result(result, linear: bool):
     return _get_pack_result()(result, linear)
 
 
+def _chunk_dcap(models) -> int:
+    """Quantised dual capacity: compiled programs are reused across chunks
+    (recompiles dominated the TPU wall-clock otherwise).  1024-step
+    quantisation: recompiles stay rare while D-proportional work (doubling
+    scans, matching, gathers) avoids the up-to-2x power-of-two pad."""
+    dcap = max(1, max(len(m.dual_l) for m in models))
+    return ((dcap + 1023) // 1024) * 1024 if dcap > 512 else 512
+
+
+def _chunk_est_bytes(b: int, la_max: int, lb_max: int, dcap: int) -> int:
+    """Peak HBM residents of one chunk: the diagonal-major dirs + skewed
+    tensors (~8 bytes per (diag, lane, offset) cell) plus the [B, NE] grids
+    and [B, D] dual arrays."""
+    ne = la_max * lb_max
+    return b * ((la_max + lb_max + 8) * (la_max + 128) * 8
+                + ne * 24 + dcap * 48)
+
+
+@dataclass
+class _Prepared:
+    """A chunk packed and uploaded, ready to solve (the pipeline boundary:
+    everything before this is host/filter work, everything after is the
+    device subgradient loop + result download)."""
+
+    chunk: list
+    models: list
+    batch: object
+    la_max: int
+    lb_max: int
+    las: np.ndarray
+    lbs: np.ndarray
+    b: int
+    bp: int
+    go: int
+    ge: int
+    scan_steps: int
+    e_cap: int
+    n_dev: int
+
+
 def _solve_models(store, chunk, models, params: Parameters,
                   la_max: int, lb_max: int, las, lbs) -> Iterator[PairResult]:
+    b = len(chunk)
+    dcap = _chunk_dcap(models)
+    # memory guard for long pairs (16S-scale)
+    if b > 1 and _chunk_est_bytes(b, la_max, lb_max, dcap) > 6_000_000_000:
+        mid = b // 2
+        yield from _solve_models(store, chunk[:mid], models[:mid], params,
+                                 la_max, lb_max, las[:mid], lbs[:mid])
+        yield from _solve_models(store, chunk[mid:], models[mid:], params,
+                                 la_max, lb_max, las[mid:], lbs[mid:])
+        return
+    prep = _pack_models(store, chunk, models, params, la_max, lb_max,
+                        las, lbs, dcap)
+    yield from _run_packed(prep, store, params)
+
+
+def _pack_models(store, chunk, models, params: Parameters,
+                 la_max: int, lb_max: int, las, lbs, dcap: int) -> _Prepared:
+    import jax
     import jax.numpy as jnp
 
     from lara_tpu.solver import device_solver
@@ -343,33 +470,18 @@ def _solve_models(store, chunk, models, params: Parameters,
     b = len(chunk)
     go, ge = int(params.gap_open_int), int(params.gap_extend_int)
     ne = la_max * lb_max
-    dcap = max(1, max(len(m.dual_l) for m in models))
-    # quantise the dual capacity and the batch so compiled programs are
-    # reused across chunks (recompiles dominated the TPU wall-clock otherwise)
-    # 1024-step quantisation: recompiles stay rare while D-proportional work
-    # (doubling scans, matching, gathers) avoids the up-to-2x power-of-two pad
-    dcap = ((dcap + 1023) // 1024) * 1024 if dcap > 512 else 512
-
-    # memory guard for long pairs (16S-scale): the peak HBM residents are
-    # the diagonal-major dirs + skewed tensors (~8 bytes per (diag, lane,
-    # offset) cell) plus the [B, NE] grids and [B, D] dual arrays
-    est_bytes = b * ((la_max + lb_max + 8) * (la_max + 128) * 8
-                     + ne * 24 + dcap * 48)
-    if b > 1 and est_bytes > 6_000_000_000:
-        mid = b // 2
-        yield from _solve_models(store, chunk[:mid], models[:mid], params,
-                                 la_max, lb_max, las[:mid], lbs[:mid])
-        yield from _solve_models(store, chunk[mid:], models[mid:], params,
-                                 la_max, lb_max, las[mid:], lbs[mid:])
-        return
-    import jax
 
     n_dev = len(jax.local_devices())  # sharding is per-host (mesh.pair_mesh)
     bp = 1 << (max(b, n_dev if (n_dev > 1 and b > 1) else 1) - 1).bit_length()
 
     pack_timer = timing.phase("model packing (host)")
     pack_timer.__enter__()
-    seq_score = np.zeros((bp, la_max, lb_max), np.int32)
+    raw_path = n_dev > 1  # multi-device sharding uploads raw arrays
+    # the dense [B, LA, LB] seq-score grid is only materialised on the host
+    # for the raw path: packed uploads rebuild it on device from the
+    # sequences (at 16S batch width the grid is ~300 MB -- filling and
+    # shipping it dominated the packing phase)
+    seq_score = np.zeros((bp, la_max, lb_max), np.int32) if raw_path else None
     active = np.zeros((bp, la_max, lb_max), bool)
     dual_l = np.zeros((bp, dcap), np.int32)
     dual_m = np.zeros((bp, dcap), np.int32)
@@ -383,7 +495,8 @@ def _solve_models(store, chunk, models, params: Parameters,
     max_run = 1
     max_edges = 1
     for k, m in enumerate(models):
-        seq_score[k, : m.la, : m.lb] = m.seq_score
+        if raw_path:
+            seq_score[k, : m.la, : m.lb] = m.seq_score
         active[k, : m.la, : m.lb] = m.active
         d = len(m.dual_l)
         if d:
@@ -424,29 +537,26 @@ def _solve_models(store, chunk, models, params: Parameters,
         submat_f = jnp.asarray(np.asarray(params.score_matrix),
                                dtype=jnp.float32)
         nk = submat_f.shape[0]
-        # bit-packed layout (flat ids and dual indices in 15 bits each):
-        # drops the dense seq-score grid (recomputed on device from the
-        # sequences) and halves the dual-table columns
-        packed = ne <= 32768 and dcap <= 32768
-        if packed:
-            sa = np.full((bp, la_max), nk - 1, np.int32)
-            sb = np.full((bp, lb_max), nk - 1, np.int32)
-            scale_bits = np.zeros(bp, np.float32)
-            for k, m in enumerate(models):
-                sa[k, : m.la] = m.seq_a
-                sb[k, : m.lb] = m.seq_b
-                scale_bits[k] = np.float32(m.scale)
-            buf = np.concatenate(
-                [words, (dual_l << 15) | dual_m, sscore,
-                 (rev << 15) | qrank, sa, sb,
-                 scale_bits.view(np.int32)[:, None], las[:, None],
-                 lbs[:, None], nd[:, None]], axis=1)
+        # both packed layouts drop the dense seq-score grid (recomputed on
+        # device from the sequences); "packed15" additionally shares one
+        # word per (l, m) / (rev, qrank) pair when flat ids fit 15 bits
+        mode = "packed15" if (ne <= 32768 and dcap <= 32768) else "packed_seq"
+        sa = np.full((bp, la_max), nk - 1, np.int32)
+        sb = np.full((bp, lb_max), nk - 1, np.int32)
+        scale_bits = np.zeros(bp, np.float32)
+        for k, m in enumerate(models):
+            sa[k, : m.la] = m.seq_a
+            sb[k, : m.lb] = m.seq_b
+            scale_bits[k] = np.float32(m.scale)
+        if mode == "packed15":
+            dual_cols = [(dual_l << 15) | dual_m, sscore, (rev << 15) | qrank]
         else:
-            buf = np.concatenate(
-                [seq_score.reshape(bp, ne), words, dual_l, dual_m, sscore,
-                 rev, qrank, las[:, None], lbs[:, None], nd[:, None]],
-                axis=1)
-        batch = _get_unpack_model(ne, dcap, la_max, lb_max, packed, nk)(
+            dual_cols = [dual_l, dual_m, sscore, rev, qrank]
+        buf = np.concatenate(
+            [words, *dual_cols, sa, sb,
+             scale_bits.view(np.int32)[:, None], las[:, None],
+             lbs[:, None], nd[:, None]], axis=1)
+        batch = _get_unpack_model(ne, dcap, la_max, lb_max, mode, nk)(
             jnp.asarray(buf), submat_f)
     else:
         batch = device_solver.BatchModel(
@@ -463,23 +573,38 @@ def _solve_models(store, chunk, models, params: Parameters,
         )
     jax.block_until_ready(batch.seq_score)  # uploads accounted to packing
     pack_timer.__exit__(None, None, None)
+    return _Prepared(chunk=chunk, models=models, batch=batch,
+                     la_max=la_max, lb_max=lb_max, las=las, lbs=lbs,
+                     b=b, bp=bp, go=go, ge=ge, scan_steps=scan_steps,
+                     e_cap=e_cap, n_dev=n_dev)
+
+
+def _run_packed(prep: _Prepared, store, params: Parameters
+                ) -> Iterator[PairResult]:
+    from lara_tpu.solver import device_solver
+    from lara_tpu.utils import timing
+
+    chunk, models = prep.chunk, prep.models
+    la_max, lb_max, las = prep.la_max, prep.lb_max, prep.las
 
     with timing.phase("subgradient solve (device)"):
-        if len(jax.local_devices()) > 1 and b > 1:
+        if prep.n_dev > 1 and prep.b > 1:
             from lara_tpu.parallel import mesh as mesh_mod
 
             result = mesh_mod.solve_batch_sharded(
-                batch, go, ge, np.float32(params.step_size_factor),
+                prep.batch, prep.go, prep.ge,
+                np.float32(params.step_size_factor),
                 la_max, lb_max, int(params.num_iterations),
                 int(params.max_nondecr_iterations), int(params.matching),
-                scan_steps=scan_steps, e_cap=e_cap,
+                scan_steps=prep.scan_steps, e_cap=prep.e_cap,
             )
         else:
             result = device_solver.solve_batch(
-                batch, go, ge, np.float32(params.step_size_factor),
+                prep.batch, prep.go, prep.ge,
+                np.float32(params.step_size_factor),
                 la_max, lb_max, int(params.num_iterations),
                 int(params.max_nondecr_iterations), int(params.matching),
-                scan_steps=scan_steps, e_cap=e_cap,
+                scan_steps=prep.scan_steps, e_cap=prep.e_cap,
             )
 
     with timing.phase("result download (host)"):

@@ -120,3 +120,34 @@ def test_device_backend_conflicting_structures(tmp_path):
     ref = run_backend(str(path), "reference", num_iterations=80)
     dev = run_backend(str(path), "device", num_iterations=80)
     assert dev == ref
+
+
+def test_pipelined_chunks_match_serial(tmp_path, monkeypatch):
+    """Mixed length classes produce multiple buckets; the cross-chunk
+    pipeline (prepare k+1 while k solves in a background thread) must be
+    byte-identical to the serial path."""
+    path = tmp_path / "mixed.dbn"
+    lines = []
+    short = "GGGCGCAAGCCUUAAGGCGCCC"
+    long_ = ("GGGCGCAAGCCUUAAGGCGCCCAAGGCUUAGCGGGCGCAAGCCUUAAGGCGCCCAAGGCUUAGC")
+    st_s = "(((((((......))))))).."
+    st_l = "(((((((......)))))))............(((((((......)))))))............"
+    rng = np.random.default_rng(9)
+    for k in range(3):
+        seq = list(short)
+        seq[int(rng.integers(0, len(seq)))] = "ACGU"[rng.integers(0, 4)]
+        lines.append(f">s{k}\n{''.join(seq)}\n{st_s}")
+    for k in range(3):
+        seq = list(long_)
+        seq[int(rng.integers(0, len(seq)))] = "ACGU"[rng.integers(0, 4)]
+        lines.append(f">l{k}\n{''.join(seq)}\n{st_l}")
+    path.write_text("\n".join(lines) + "\n")
+
+    monkeypatch.setenv("LARA_NO_PIPELINE", "1")
+    serial = run_backend(str(path), "device", num_iterations=40)
+    monkeypatch.delenv("LARA_NO_PIPELINE")
+    pipelined = run_backend(str(path), "device", num_iterations=40)
+    assert pipelined == serial
+    # sanity: this workload really is multi-bucket (the pipeline engaged)
+    from lara_tpu.solver.device_driver import _pad_dim
+    assert _pad_dim(len(short)) != _pad_dim(len(long_))
