@@ -90,3 +90,55 @@ def test_two_process_run_matches_single_process(tmp_path):
 
     assert multi_lib.exists()
     assert multi_lib.read_text() == single_lib.read_text()
+
+
+@pytest.mark.slow
+def test_three_process_empty_shards(tmp_path):
+    """1 pair over 3 processes: two hosts get EMPTY shards and must still
+    participate in the padded all-gather; process 0 writes the identical
+    library (VERDICT r4 item 7: the ragged edges of the distributed path)."""
+    family = tmp_path / "pair.dbn"
+    family.write_text(
+        ">a\nGGGCGCAAGCCUUAAGGCGCCC\n(((((((......)))))))..\n"
+        ">b\nGGGCGCAAGCCUUCAGGCGCCC\n(((((((......)))))))..\n"
+    )
+
+    single_lib = tmp_path / "single.lib"
+    env1 = _base_env(1)
+    env1["LARA_NO_DISTRIBUTED"] = "1"
+    res = subprocess.run(
+        [sys.executable, "-m", "lara_tpu", "-i", str(family), "-n", "20",
+         "-w", str(single_lib)],
+        env=env1, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    port = _free_port()
+    multi_lib = tmp_path / "multi.lib"
+    procs = []
+    for pid in range(3):
+        env = _base_env(1)
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "3"
+        env["JAX_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "lara_tpu", "-i", str(family), "-n", "20",
+             "-v", "1", "-w", str(multi_lib)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        ))
+    outs = []
+    for proc in procs:
+        try:
+            out, err = proc.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            raise
+        outs.append((proc.returncode, out, err))
+    for rc, _out, err in outs:
+        assert rc == 0, err[-2000:]
+    shard_lines = [err for _rc, _out, err in outs]
+    assert sum("host shard: 0/1 pairs" in e for e in shard_lines) == 2
+    assert sum("host shard: 1/1 pairs" in e for e in shard_lines) == 1
+    assert multi_lib.read_text() == single_lib.read_text()
