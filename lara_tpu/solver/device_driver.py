@@ -116,16 +116,34 @@ def solve_all(store, pairs: Sequence[Tuple[int, int]], params: Parameters
     #: B * LA * LB cells at ~16 bytes live state (pssm + skew + dirs)
     cell_budget = 128 * 1024 * 1024
 
-    tasks: List[Tuple[int, int, List[Tuple[int, int]]]] = []
+    import jax
+
+    max_batch_cap = int(os.environ.get("LARA_MAX_BATCH", DEFAULT_MAX_BATCH))
+    # chunk-boundary lane refill (the reference's work stealing) applies to
+    # buckets wider than the batch: single-device fused path only (the
+    # sharded path splits buckets across devices instead)
+    refill_ok = (not os.environ.get("LARA_NO_REFILL")
+                 and (len(jax.local_devices()) == 1
+                      or bool(os.environ.get("LARA_REFILL"))))
+    tasks: List[tuple] = []
     for (la_max, lb_max), bucket_pairs in sorted(buckets.items(), reverse=True):
-        max_batch = max(1, min(DEFAULT_MAX_BATCH, cell_budget // (la_max * lb_max)))
+        max_batch = max(1, min(max_batch_cap, cell_budget // (la_max * lb_max)))
+        if refill_ok and len(bucket_pairs) > max_batch and max_batch > 1:
+            tasks.append(("refill", la_max, lb_max, bucket_pairs, max_batch))
+            continue
         for start in range(0, len(bucket_pairs), max_batch):
-            tasks.append((la_max, lb_max,
+            tasks.append(("chunk", la_max, lb_max,
                           bucket_pairs[start : start + max_batch]))
 
     if len(tasks) <= 1 or os.environ.get("LARA_NO_PIPELINE"):
-        for (la_max, lb_max, chunk) in tasks:
-            yield from _solve_chunk(store, chunk, params, la_max, lb_max)
+        for task in tasks:
+            if task[0] == "refill":
+                _, la_max, lb_max, bucket_pairs, max_batch = task
+                yield from _run_refill(store, params, la_max, lb_max,
+                                       bucket_pairs, max_batch)
+            else:
+                _, la_max, lb_max, chunk = task
+                yield from _solve_chunk(store, chunk, params, la_max, lb_max)
         return
 
     # ---- cross-chunk pipeline (the reference's workers never idle,
@@ -135,7 +153,16 @@ def solve_all(store, pairs: Sequence[Tuple[int, int]], params: Parameters
     # still serialises on the one core; what's hidden is the host share. ----
     with ThreadPoolExecutor(max_workers=1) as solver_thread:
         pending = None
-        for (la_max, lb_max, chunk) in tasks:
+        for task in tasks:
+            if task[0] == "refill":
+                if pending is not None:
+                    yield from pending.result()
+                    pending = None
+                _, la_max, lb_max, bucket_pairs, max_batch = task
+                yield from _run_refill(store, params, la_max, lb_max,
+                                       bucket_pairs, max_batch)
+                continue
+            _, la_max, lb_max, chunk = task
             prep = _prepare_chunk(store, chunk, params, la_max, lb_max)
             if pending is not None:
                 yield from pending.result()
@@ -253,6 +280,169 @@ def _solve_chunk(store, chunk, params: Parameters, la_max: int, lb_max: int
     models, las, lbs = _filter_and_build(store, chunk, params, la_max, lb_max)
     yield from _solve_models(store, chunk, models, params, la_max, lb_max,
                              las, lbs)
+
+
+def _model_rows(models, la_max: int, lb_max: int, dcap: int):
+    """Raw BatchModel rows ([k, ...] NumPy) for lane splicing."""
+    from lara_tpu.solver import device_solver
+
+    k = len(models)
+    ne = la_max * lb_max
+    seq_score = np.zeros((k, la_max, lb_max), np.int32)
+    active = np.zeros((k, la_max, lb_max), bool)
+    dual_l = np.zeros((k, dcap), np.int32)
+    dual_m = np.zeros((k, dcap), np.int32)
+    sscore = np.zeros((k, dcap), np.int32)
+    rev = np.broadcast_to(np.arange(dcap, dtype=np.int32), (k, dcap)).copy()
+    dvalid = np.zeros((k, dcap), bool)
+    qrank = np.broadcast_to(np.arange(dcap, dtype=np.int32), (k, dcap)).copy()
+    las = np.ones(k, np.int32)
+    lbs = np.ones(k, np.int32)
+    for i, m in enumerate(models):
+        seq_score[i, : m.la, : m.lb] = m.seq_score
+        active[i, : m.la, : m.lb] = m.active
+        las[i], lbs[i] = m.la, m.lb
+        d = len(m.dual_l)
+        if d:
+            a_ids, b_ids = np.divmod(m.dual_l, m.lb)
+            dual_l[i, :d] = a_ids * lb_max + b_ids
+            a_ids, b_ids = np.divmod(m.dual_m, m.lb)
+            dual_m[i, :d] = a_ids * lb_max + b_ids
+            sscore[i, :d] = m.sscore
+            rev[i, :d] = m.rev
+            dvalid[i, :d] = True
+            qrank[i, :d][m.qperm] = np.arange(d, dtype=np.int32)
+    return device_solver.BatchModel(
+        seq_score=seq_score.reshape(k, ne), active=active.reshape(k, ne),
+        dual_l=dual_l, dual_m=dual_m, sscore=sscore, rev=rev, dvalid=dvalid,
+        qrank=qrank, la=las, lb=lbs)
+
+
+#: lanes refilled per splice call (fixed width = one compiled program)
+REFILL_WIDTH = 32
+
+
+def _run_refill(store, params: Parameters, la_max: int, lb_max: int,
+                bucket_pairs, window: int) -> Iterator[PairResult]:
+    """Solve a bucket larger than the batch width with chunk-boundary lane
+    refill: converged lanes hand their slot to the next waiting pair (the
+    reference's work stealing, ``subgradient_solver.hpp:286-325``) instead
+    of splitting the bucket into sequential full-depth batches."""
+    import jax.numpy as jnp
+
+    from lara_tpu.solver import device_solver
+    from lara_tpu.utils import timing
+
+    # build every model up front: refill needs bucket-wide dual capacity,
+    # scan depth and edge caps so the one compiled program covers any pair
+    models: List = []
+    las_all = []
+    lbs_all = []
+    for start in range(0, len(bucket_pairs), window):
+        m, la_s, lb_s = _filter_and_build(
+            store, bucket_pairs[start:start + window], params, la_max, lb_max)
+        models.extend(m)
+        las_all.extend(la_s.tolist())
+        lbs_all.extend(lb_s.tolist())
+    dcap = _chunk_dcap(models)
+
+    if _chunk_est_bytes(window, la_max, lb_max, dcap) > 6_000_000_000:
+        # bucket too wide to refill within HBM: plain sequential chunks
+        for start in range(0, len(bucket_pairs), window):
+            chunk = bucket_pairs[start:start + window]
+            yield from _solve_models(
+                store, chunk, models[start:start + window], params, la_max,
+                lb_max, np.asarray(las_all[start:start + window], np.int32),
+                np.asarray(lbs_all[start:start + window], np.int32))
+        return
+
+    prep = _pack_models(
+        store, list(bucket_pairs[:window]), models[:window], params, la_max,
+        lb_max, np.asarray(las_all[:window], np.int32),
+        np.asarray(lbs_all[:window], np.int32), dcap)
+    # widen the static scan/placement caps to cover the WHOLE bucket (the
+    # window prep only saw its own pairs)
+    max_run, max_edges = 1, 1
+    for m in models:
+        if len(m.dual_l):
+            counts = np.unique(m.dual_l, return_counts=True)[1]
+            max_run = max(max_run, int(counts.max()))
+            max_edges = max(max_edges, len(counts))
+    steps_needed = max(1, (max_run - 1).bit_length())
+    prep.scan_steps = min(steps_needed + (steps_needed & 1),
+                          max(1, (dcap - 1).bit_length()))
+    e_cap = min(dcap, max(256, _round_up(max_edges, 256)))
+    if 4 * prep.bp * e_cap * (la_max + 2 * lb_max) > 256 * 1024 * 1024:
+        e_cap = 0
+    prep.e_cap = e_cap
+
+    go, ge = prep.go, prep.ge
+    step0 = np.float32(params.step_size_factor)
+    n_iter = int(params.num_iterations)
+    bp = prep.bp
+    model = prep.batch
+    carry = device_solver._init_carry(bp, dcap, la_max, step0, n_iter)
+    # lane k currently holds (pair, model) or None (padding / harvested)
+    lane_pair: List = [None] * bp
+    for k in range(window):
+        lane_pair[k] = (bucket_pairs[k], models[k])
+    next_i = window
+    dispatches = 0
+    occupied = 0
+    solve_timer = timing.phase("subgradient solve (device)")
+    solve_timer.__enter__()
+    while True:
+        carry = device_solver.solve_batch_chunk(
+            model, carry, go, ge, la_max, lb_max, 125,
+            int(params.max_nondecr_iterations), int(params.matching),
+            prep.scan_steps, prep.e_cap)
+        flags = np.asarray(carry.lane_active)
+        dispatches += 1
+        occupied += sum(1 for k in range(bp)
+                        if lane_pair[k] is not None and flags[k])
+        finished = [k for k in range(bp)
+                    if lane_pair[k] is not None and not flags[k]]
+        if finished:
+            packed, s = _download_result(
+                device_solver._result_of(carry), params)
+            for k in finished:
+                pair, mdl = lane_pair[k]
+                lane_pair[k] = None
+                yield _postprocess_lane(packed, s, k, pair, mdl, params,
+                                        mdl.la)
+        # every empty slot is refillable: just-harvested lanes AND the
+        # batch-rounding padding lanes
+        free = [k for k in range(bp) if lane_pair[k] is None]
+        while free and next_i < len(bucket_pairs):
+            take = min(len(free), len(bucket_pairs) - next_i,
+                       REFILL_WIDTH)
+            lanes = free[:take]
+            free = free[take:]
+            new_models = models[next_i:next_i + take]
+            rows = _model_rows(new_models, la_max, lb_max, dcap)
+            lane_idx = np.full(REFILL_WIDTH, bp, np.int32)  # drop slots
+            lane_idx[:take] = lanes
+            import jax
+
+            rows = jax.tree.map(
+                lambda a: jnp.asarray(np.concatenate(
+                    [a, np.zeros((REFILL_WIDTH - take,) + a.shape[1:],
+                                 a.dtype)])) if take < REFILL_WIDTH
+                else jnp.asarray(a), rows)
+            model, carry = device_solver.splice_lanes(
+                model, carry, jnp.asarray(lane_idx), rows, step0,
+                np.int32(n_iter))
+            for j, k in enumerate(lanes):
+                lane_pair[k] = (bucket_pairs[next_i + j],
+                                new_models[j])
+            next_i += take
+        if not any(lane_pair):
+            break
+    solve_timer.__exit__(None, None, None)
+    log(1, f"   * refill bucket {la_max}x{lb_max}: {len(bucket_pairs)} pairs "
+           f"through {bp} lanes, mean occupancy "
+           f"{occupied / max(1, dispatches * bp):.2f} over {dispatches} "
+           f"dispatches")
 
 
 def _prepare_chunk(store, chunk, params: Parameters, la_max: int,
@@ -608,40 +798,45 @@ def _run_packed(prep: _Prepared, store, params: Parameters
             )
 
     with timing.phase("result download (host)"):
-        # one packed transfer (six per-array downloads = six tunnel RTTs)
-        linear = bool(params.library_score_is_linear)
-        s = result.best_partner.shape[1]
-        packed = np.asarray(_pack_result(result, linear))
-        best_partner = packed[:, :s]
-        best_matched = packed[:, s:2 * s].astype(bool)
-        best_nlines = packed[:, 2 * s]
-        best_lower = packed[:, 2 * s + 1]
-        best_upper = packed[:, 2 * s + 2]
-        iterations = packed[:, 2 * s + 3]
-        # the [B, D] dual snapshot is only consumed by linear libscore mode
-        dual_q = packed[:, 2 * s + 4:] if linear else None
+        packed, s = _download_result(result, params)
 
     for k, (ia, ib) in enumerate(chunk):
-        pk = best_partner[k, : int(las[k])]
-        a_pos = np.nonzero(pk >= 0)[0]
-        assert len(a_pos) == int(best_nlines[k]), "partner/count mismatch"
-        lines = [(int(a), int(pk[a])) for a in a_pos]
-        matched = best_matched[k, a_pos]
-        columns = _structure_columns(
-            models[k], params, lines, matched,
-            None if dual_q is None else dual_q[k, : len(models[k].dual_l)],
-        )
-        swap = ia > ib
-        if swap:
-            columns = [(y, x, w) for (x, y, w) in columns]
-        yield PairResult(
-            seq_indices=(min(ia, ib), max(ia, ib)),
-            columns=columns,
-            score=int(best_lower[k]),
-            iterations=int(iterations[k]),
-            best_upper=int(best_upper[k]),
-            best_lower=int(best_lower[k]),
-        )
+        yield _postprocess_lane(packed, s, k, (ia, ib), models[k], params,
+                                int(las[k]))
+
+
+def _download_result(result, params: Parameters):
+    """One packed transfer (six per-array downloads = six tunnel RTTs);
+    returns (packed ndarray, partner column count)."""
+    linear = bool(params.library_score_is_linear)
+    s = result.best_partner.shape[1]
+    return np.asarray(_pack_result(result, linear)), s
+
+
+def _postprocess_lane(packed, s: int, k: int, pair, model,
+                      params: Parameters, la_len: int) -> PairResult:
+    """One lane of a packed result download -> PairResult."""
+    ia, ib = pair
+    linear = bool(params.library_score_is_linear)
+    pk = packed[k, :s][:la_len]
+    a_pos = np.nonzero(pk >= 0)[0]
+    best_nlines = int(packed[k, 2 * s])
+    assert len(a_pos) == best_nlines, "partner/count mismatch"
+    lines = [(int(a), int(pk[a])) for a in a_pos]
+    matched = packed[k, s:2 * s].astype(bool)[a_pos]
+    dual_q = packed[k, 2 * s + 4:][: len(model.dual_l)] if linear else None
+    columns = _structure_columns(model, params, lines, matched, dual_q)
+    if ia > ib:
+        columns = [(y, x, w) for (x, y, w) in columns]
+    best_lower = int(packed[k, 2 * s + 1])
+    return PairResult(
+        seq_indices=(min(ia, ib), max(ia, ib)),
+        columns=columns,
+        score=best_lower,
+        iterations=int(packed[k, 2 * s + 3]),
+        best_upper=int(packed[k, 2 * s + 2]),
+        best_lower=best_lower,
+    )
 
 
 def _structure_columns(model, params: Parameters, lines, matched, dual_q):

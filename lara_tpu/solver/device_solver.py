@@ -630,6 +630,53 @@ def solve_batch_chunk(
     return final
 
 
+@functools.partial(jax.jit, donate_argnames=("model", "carry"))
+def splice_lanes(
+    model: BatchModel,
+    carry: "_Carry",
+    lane_idx,
+    rows: BatchModel,
+    step_factor0,
+    num_iterations,
+):
+    """Replace ``len(lane_idx)`` lanes of a live (model, carry) with fresh
+    pairs and reset their solver state -- the chunk-boundary work-refill
+    that mirrors the reference's shared-iterator steal
+    (``subgradient_solver.hpp:286-325``): a converged SIMD lane is reloaded
+    with the next pair instead of idling to the batch's end.
+
+    ``lane_idx`` is a fixed-width int32 vector (one compiled program per
+    refill width); unused slots point out of range and are dropped.
+    """
+    new_model = BatchModel(*[
+        arr.at[lane_idx].set(r, mode="drop")
+        for arr, r in zip(model, rows)
+    ])
+    d = model.dual_l.shape[1]
+    k = lane_idx.shape[0]
+    la_cols = carry.best_partner.shape[1]
+    fresh = _Carry(
+        dual=jnp.zeros((k, d), I32),
+        dual_at_queue=jnp.zeros((k, d), I32),
+        step_factor=jnp.full((k,), step_factor0, F32),
+        nondecr=jnp.zeros((k,), I32),
+        remaining=jnp.full((k,), num_iterations, I32),
+        lane_active=jnp.ones((k,), bool),
+        best_lower=jnp.full((k,), NEG_INF, I32),
+        best_upper=jnp.full((k,), -NEG_INF, I32),
+        best_score=jnp.full((k,), NEG_INF, I32),
+        best_partner=jnp.full((k, la_cols), -1, I32),
+        best_nlines=jnp.zeros((k,), I32),
+        best_matched=jnp.zeros((k, la_cols), bool),
+        iterations=jnp.zeros((k,), I32),
+    )
+    new_carry = _Carry(*[
+        arr.at[lane_idx].set(r, mode="drop")
+        for arr, r in zip(carry, fresh)
+    ])
+    return new_model, new_carry
+
+
 def solve_batch_traced(
     model: BatchModel,
     go,

@@ -151,3 +151,18 @@ def test_pipelined_chunks_match_serial(tmp_path, monkeypatch):
     # sanity: this workload really is multi-bucket (the pipeline engaged)
     from lara_tpu.solver.device_driver import _pad_dim
     assert _pad_dim(len(short)) != _pad_dim(len(long_))
+
+
+def test_lane_refill_matches_serial(tmp_path, monkeypatch):
+    """Chunk-boundary lane refill (converged lanes take waiting pairs,
+    subgradient_solver.hpp:286-325) must be byte-identical to plain
+    sequential chunking over the same bucket."""
+    path = write_family(tmp_path, n=6, seed=13)  # 15 pairs in one bucket
+
+    monkeypatch.setenv("LARA_MAX_BATCH", "4")    # force pairs > lanes
+    monkeypatch.setenv("LARA_NO_REFILL", "1")
+    serial = run_backend(path, "device", num_iterations=60)
+    monkeypatch.delenv("LARA_NO_REFILL")
+    monkeypatch.setenv("LARA_REFILL", "1")       # engage despite CPU mesh
+    refill = run_backend(path, "device", num_iterations=60)
+    assert refill == serial
