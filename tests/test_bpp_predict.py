@@ -71,7 +71,8 @@ def _loop_energy(seq, pairs):
     """kcal/mol of one explicit structure by loop decomposition
     (independent implementation of the bpp_predict docstring spec)."""
     roots, children = _nesting(pairs)
-    e = sum(_au(seq, i, j) for (i, j) in roots)       # exterior branches
+    # exterior branches: AU penalty + the dangles=2 terminal-stacking proxy
+    e = sum(_au(seq, i, j) + bpp_predict._EXT_STEM_DG for (i, j) in roots)
     for (i, j) in pairs:
         kids = children[(i, j)]
         if not kids:
@@ -115,6 +116,7 @@ def _loop_energy(seq, pairs):
         else:                                          # multiloop
             e += bpp_predict._ML_CLOSING \
                 + bpp_predict._ML_BRANCH * (len(kids) + 1) \
+                + bpp_predict._EXT_STEM_DG * (len(kids) + 1) \
                 + _au(seq, i, j) \
                 + sum(_au(seq, k, l) for (k, l) in kids)
             u = (j - i - 1) - sum(l - k + 1 for (k, l) in kids)
