@@ -465,6 +465,151 @@ def _make_tb_stream_kernel(dchunk: int, num_blocks: int, bb: int, wp: int,
     return _kernel
 
 
+def _make_resident_kernel(num_steps: int, bb: int, wp: int):
+    """Forward wavefront with the WHOLE diagonal extent VMEM-resident.
+
+    The stream kernels pay a per-block DMA start/wait pair whose latency is
+    comparable to the block's compute at bench widths; when the skewed
+    scores + dirs for all diagonals fit VMEM (align_plan decides), reading
+    rows by dynamic index from a resident block removes the DMA machinery
+    entirely and runs every diagonal at the in-kernel fori step floor
+    measured in benchmark/PROFILE.md round-4b.
+    """
+
+    def _kernel(params_ref, la_ref, lb_ref, skewed_ref, finals_ref, dirs_ref):
+        go = params_ref[0, 0]
+        ge = params_ref[0, 1]
+        col = jax.lax.broadcasted_iota(I32, (bb, wp), dimension=1)
+        la = la_ref[...]
+        lb = lb_ref[...]
+        neg = jnp.full((bb, wp), NEG_INF, I32)
+
+        def shift(x):
+            return jnp.where(col == 0, NEG_INF,
+                             pltpu.roll(x, shift=1, axis=1))
+
+        def body(d, st):
+            m1, h1, v1, m2, h2, v2, f0, f1, f2 = st
+            t_row = skewed_ref[d]
+
+            m2s, h2s, v2s = shift(m2), shift(h2), shift(v2)
+            best_prev = jnp.maximum(jnp.maximum(m2s, h2s), v2s)
+            m_new = best_prev + t_row
+            mdir = jnp.where(m2s == best_prev, MAT,
+                             jnp.where(h2s == best_prev, HOR, VER))
+
+            hh, hm, hv = h1 + ge, m1 + go, v1 + go
+            h_new = jnp.maximum(jnp.maximum(hh, hm), hv)
+            hdir = jnp.where(hh == h_new, HOR,
+                             jnp.where(hm == h_new, MAT, VER))
+
+            m1s, h1s, v1s = shift(m1), shift(h1), shift(v1)
+            vv, vm, vh = v1s + ge, m1s + go, h1s + go
+            v_new = jnp.maximum(jnp.maximum(vv, vm), vh)
+            vdir = jnp.where(vv == v_new, VER,
+                             jnp.where(vm == v_new, MAT, HOR))
+
+            bg = jnp.where(d == 0, I32(0), go + ge * (d - 1))
+            top = col == 0
+            left = col == d
+            m_new = jnp.where(top | left, bg, m_new)
+            h_new = jnp.where(top, jnp.where(d == 0, NEG_INF, bg),
+                              jnp.where(left, NEG_INF, h_new))
+            v_new = jnp.where(left, jnp.where(d == 0, NEG_INF, bg),
+                              jnp.where(top, NEG_INF, v_new))
+
+            dirs_ref[d] = (
+                mdir | (hdir << 2) | (vdir << 4)).astype(jnp.int8)
+
+            sel = (col == la) & (d == la + lb)
+            f0 = jnp.where(sel, m_new, f0)
+            f1 = jnp.where(sel, h_new, f1)
+            f2 = jnp.where(sel, v_new, f2)
+
+            return (m_new, h_new, v_new, m1, h1, v1, f0, f1, f2)
+
+        st = jax.lax.fori_loop(
+            0, num_steps, body, (neg,) * 6 + (neg, neg, neg))
+        f0, f1, f2 = st[6], st[7], st[8]
+        finals_ref[0] = jnp.max(f0, axis=1, keepdims=True)
+        finals_ref[1] = jnp.max(f1, axis=1, keepdims=True)
+        finals_ref[2] = jnp.max(f2, axis=1, keepdims=True)
+
+    return _kernel
+
+
+def _make_tb_resident_kernel(num_steps: int, bb: int, wp: int):
+    """Traceback over VMEM-resident dirs + seq-score blocks (see
+    :func:`_make_resident_kernel`)."""
+
+    def _kernel(params_ref, la_ref, lb_ref, finals_ref, dirs_ref, sseq_ref,
+                partner_ref, scalars_ref):
+        go = params_ref[0, 0]
+        ge = params_ref[0, 1]
+        col = jax.lax.broadcasted_iota(I32, (bb, wp), dimension=1)
+        la = la_ref[...]
+        lb = lb_ref[...]
+
+        fm = finals_ref[0]
+        fh = finals_ref[1]
+        fv = finals_ref[2]
+        upper = jnp.maximum(jnp.maximum(fm, fh), fv)
+        state0 = jnp.where(fm == upper, MAT,
+                           jnp.where(fh == upper, HOR, VER))
+        zero = jnp.zeros((bb, 1), I32)
+
+        def body(k, st):
+            cur_d, cur_i, state, gap, cnt, seq, partner = st
+            d = num_steps - 1 - k
+            cur_j = cur_d - cur_i
+            act = (cur_d == d) & ((cur_i > 0) | (cur_j > 0))
+            st_eff = jnp.where(cur_i == 0, HOR,
+                               jnp.where(cur_j == 0, VER, state))
+            onehot = col == cur_i
+            picked = jnp.sum(
+                jnp.where(onehot[None],
+                          jnp.stack([dirs_ref[d].astype(I32),
+                                     sseq_ref[d]]),
+                          0), axis=2, keepdims=True)   # [2, BB, 1]
+            code = picked[0]
+            mdir = code & 3
+            hdir = (code >> 2) & 3
+            vdir = (code >> 4) & 3
+            pred = jnp.where(st_eff == MAT, mdir,
+                             jnp.where(st_eff == HOR, hdir, vdir))
+
+            is_m = (st_eff == MAT) & act
+            rec = (col == cur_i - 1) & is_m
+            partner = jnp.where(rec, cur_j - 1, partner)
+            cnt = cnt + is_m.astype(I32)
+            seq = seq + jnp.where(is_m, picked[1], 0)
+
+            gap_h = jnp.where(pred == HOR, ge, go)
+            gap_v = jnp.where(pred == VER, ge, go)
+            gap = gap + jnp.where(act & (st_eff == HOR), gap_h, 0) \
+                      + jnp.where(act & (st_eff == VER), gap_v, 0)
+
+            i_next = jnp.where(st_eff != HOR, cur_i - 1, cur_i)
+            d_next = cur_d - 1 - (st_eff == MAT).astype(I32)
+            cur_i = jnp.where(act, i_next, cur_i)
+            cur_d = jnp.where(act, d_next, cur_d)
+            state = jnp.where(act, pred, state)
+            return (cur_d, cur_i, state, gap, cnt, seq, partner)
+
+        st = jax.lax.fori_loop(
+            0, num_steps, body,
+            (la + lb, la, state0, zero, zero, zero,
+             jnp.full((bb, wp), -1, I32)))
+        _cd, _ci, _st, gap, cnt, seq, partner = st
+        partner_ref[...] = partner
+        scalars_ref[0] = upper
+        scalars_ref[1] = gap
+        scalars_ref[2] = cnt
+        scalars_ref[3] = seq
+
+    return _kernel
+
+
 def _use_stream() -> bool:
     """In-kernel diagonal streaming (LARA_DP_GRID=1 forces the legacy
     grid-stepped kernels)."""
@@ -567,7 +712,24 @@ def align_plan(b: int, la_max: int, lb_max: int, block_b: int = 64,
         bb = 32
         bp = _round_up(b, bb)
     dp = _round_up(num_diag, dchunk)
-    return bb, bp, wp, dp, num_diag, dchunk
+    # ---- VMEM-resident mode: when skewed scores (4B) + dirs (1B) for ALL
+    # diagonals fit VMEM per lane block, skip the DMA streaming entirely
+    # (its per-block start/wait latency is comparable to the block compute
+    # at bench widths).  Taken when 32+ lanes fit, or the whole (small)
+    # batch fits one resident block.  LARA_DP_STREAM=1 forces streaming.
+    import os
+
+    resident = False
+    if not os.environ.get("LARA_DP_STREAM"):
+        cap = (12 * 1024 * 1024) // (wp * (5 * dp + 48))
+        if cap >= 1:
+            bb_r = 1 << (cap.bit_length() - 1)
+            bb_r = min(bb_r, max(8, 1 << (max(block_b, 1).bit_length() - 1)))
+            if bb_r >= 32 or _round_up(b, 8) <= bb_r:
+                resident = True
+                bb = max(8, min(bb_r, b))
+                bp = _round_up(b, bb)
+    return bb, bp, wp, dp, num_diag, dchunk, resident
 
 
 def prepare_skewed_seq(seq_scores, la_max: int, lb_max: int,
@@ -579,7 +741,7 @@ def prepare_skewed_seq(seq_scores, la_max: int, lb_max: int,
     from lara_tpu.ops import gotoh
 
     b = seq_scores.shape[0]
-    bb, bp, wp, dp, num_diag, dchunk = align_plan(
+    bb, bp, wp, dp, num_diag, dchunk, _res = align_plan(
         b, la_max, lb_max, block_b, dchunk)
     sseq = gotoh.skew_scores(seq_scores, 0)
     return jnp.pad(
@@ -619,7 +781,8 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
     # VMEM-aware batch blocking shared with prepare_skewed_seq callers;
     # align_plan may reduce dchunk to keep multi-block DMA slices tile-
     # aligned — the returned dchunk shadows the argument from here on
-    bb, bp, wp, dp, _, dchunk = align_plan(b, la_max, lb_max, block_b, dchunk)
+    bb, bp, wp, dp, _, dchunk, resident = align_plan(
+        b, la_max, lb_max, block_b, dchunk)
     if pssm_skewed is not None:
         skewed = pssm_skewed
         assert skewed.shape == (dp, bp, wp), (skewed.shape, (dp, bp, wp))
@@ -637,7 +800,33 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
     grid = (bp // bb, num_blocks)
     stream = _use_stream()
 
-    if stream:
+    if stream and resident:
+        lane_spec = pl.BlockSpec((bb, 1), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM)
+        finals, dirs = pl.pallas_call(
+            _make_resident_kernel(num_diag, bb, wp),
+            grid=(bp // bb,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda g: (0, 0),
+                             memory_space=pltpu.SMEM),
+                lane_spec,
+                lane_spec,
+                pl.BlockSpec((dp, bb, wp), lambda g: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((3, bb, 1), lambda g: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dp, bb, wp), lambda g: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((3, bp, 1), jnp.int32),
+                jax.ShapeDtypeStruct((dp, bp, wp), jnp.int8),
+            ],
+            interpret=interpret,
+        )(params, la_p, lb_p, skewed)
+    elif stream:
         lane_spec = pl.BlockSpec((bb, 1), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
         finals, dirs = pl.pallas_call(
@@ -711,7 +900,37 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
         sseq = jnp.zeros((dp, bp, wp), I32)
         have_seq = False
 
-    if stream:
+    if stream and resident:
+        lane_spec = pl.BlockSpec((bb, 1), lambda g: (g, 0),
+                                 memory_space=pltpu.VMEM)
+        partner, scalars = pl.pallas_call(
+            _make_tb_resident_kernel(num_diag, bb, wp),
+            grid=(bp // bb,),
+            in_specs=[
+                pl.BlockSpec((1, 2), lambda g: (0, 0),
+                             memory_space=pltpu.SMEM),
+                lane_spec,
+                lane_spec,
+                pl.BlockSpec((3, bb, 1), lambda g: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dp, bb, wp), lambda g: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((dp, bb, wp), lambda g: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((bb, wp), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, bb, 1), lambda g: (0, g, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bp, wp), jnp.int32),
+                jax.ShapeDtypeStruct((4, bp, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(params, la_p, lb_p, finals, dirs, sseq)
+    elif stream:
         lane_spec = pl.BlockSpec((bb, 1), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
         partner, scalars = pl.pallas_call(

@@ -411,7 +411,7 @@ def solve_batch_chunk(
             # max(run max, 0) -- exactly lagrange.hpp:305-309.  This
             # replaces the per-iteration placement AND the skew gather,
             # which dominated long-pair iterations (PROFILE.md) ----
-            _bb, bpp, wpp, dpp, _nd, _dc = align_plan(
+            _bb, bpp, wpp, dpp, _nd, _dc, _res = align_plan(
                 b, la_max, lb_max, block_b=128, dchunk=dchunk_a)
             # flat_pos below is int32: the largest scatter target index is
             # dpp*bpp*wpp-1, which must not wrap (pairs ~2900 nt with a

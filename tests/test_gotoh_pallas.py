@@ -98,3 +98,28 @@ def test_traceback_seq_part_preskewed(problem):
                                   np.asarray(ref.seq_part))
     np.testing.assert_array_equal(np.asarray(pal.partner),
                                   np.asarray(ref.partner))
+
+
+def test_align_path_stream_vs_resident(problem, monkeypatch):
+    """The DMA-streaming and the VMEM-resident kernel variants are exact
+    drop-ins for each other (align_plan picks by VMEM budget)."""
+    pssm, la, lb, la_max, lb_max = problem
+    from lara_tpu.ops.gotoh_pallas import align_plan
+
+    plan = align_plan(int(pssm.shape[0]), la_max, lb_max, block_b=4)
+    assert plan[-1], "small shapes should select the resident variant"
+    res = align_pssm_batch_pallas(
+        pssm, la, lb, GO, GE, la_max, lb_max, block_b=4, interpret=True
+    )
+    monkeypatch.setenv("LARA_DP_STREAM", "1")
+    align_pssm_batch_pallas.clear_cache()
+    stream = align_pssm_batch_pallas(
+        pssm, la, lb, GO, GE, la_max, lb_max, block_b=4, interpret=True
+    )
+    monkeypatch.delenv("LARA_DP_STREAM")
+    align_pssm_batch_pallas.clear_cache()
+    for a, b2 in zip(res, stream):
+        if a is None:
+            assert b2 is None
+            continue
+        assert np.array_equal(np.asarray(a), np.asarray(b2))
