@@ -465,7 +465,7 @@ def _make_tb_stream_kernel(dchunk: int, num_blocks: int, bb: int, wp: int,
     return _kernel
 
 
-def _make_resident_kernel(num_steps: int, bb: int, wp: int):
+def _make_resident_kernel(dchunk: int, num_blocks: int, bb: int, wp: int):
     """Forward wavefront with the WHOLE diagonal extent VMEM-resident.
 
     The stream kernels pay a per-block DMA start/wait pair whose latency is
@@ -474,6 +474,12 @@ def _make_resident_kernel(num_steps: int, bb: int, wp: int):
     rows by dynamic index from a resident block removes the DMA machinery
     entirely and runs every diagonal at the in-kernel fori step floor
     measured in benchmark/PROFILE.md round-4b.
+
+    Structure mirrors :func:`_make_stream_kernel` exactly (fori over
+    dchunk-sized blocks with the steps unrolled inside) minus the DMA:
+    Mosaic's loop layout solver rejects several single-step-per-iteration
+    formulations of this recurrence with an invalid replicated relayout,
+    but accepts the stream kernel's proven shape.
     """
 
     def _kernel(params_ref, la_ref, lb_ref, skewed_ref, finals_ref, dirs_ref):
@@ -488,52 +494,55 @@ def _make_resident_kernel(num_steps: int, bb: int, wp: int):
             return jnp.where(col == 0, NEG_INF,
                              pltpu.roll(x, shift=1, axis=1))
 
-        def body(d, st):
+        def body(blk, st):
             m1, h1, v1, m2, h2, v2, f0, f1, f2 = st
-            t_row = skewed_ref[d]
+            for t in range(dchunk):
+                d = blk * dchunk + t
+                t_row = skewed_ref[d]
 
-            m2s, h2s, v2s = shift(m2), shift(h2), shift(v2)
-            best_prev = jnp.maximum(jnp.maximum(m2s, h2s), v2s)
-            m_new = best_prev + t_row
-            mdir = jnp.where(m2s == best_prev, MAT,
-                             jnp.where(h2s == best_prev, HOR, VER))
+                m2s, h2s, v2s = shift(m2), shift(h2), shift(v2)
+                best_prev = jnp.maximum(jnp.maximum(m2s, h2s), v2s)
+                m_new = best_prev + t_row
+                mdir = jnp.where(m2s == best_prev, MAT,
+                                 jnp.where(h2s == best_prev, HOR, VER))
 
-            hh, hm, hv = h1 + ge, m1 + go, v1 + go
-            h_new = jnp.maximum(jnp.maximum(hh, hm), hv)
-            hdir = jnp.where(hh == h_new, HOR,
-                             jnp.where(hm == h_new, MAT, VER))
+                hh, hm, hv = h1 + ge, m1 + go, v1 + go
+                h_new = jnp.maximum(jnp.maximum(hh, hm), hv)
+                hdir = jnp.where(hh == h_new, HOR,
+                                 jnp.where(hm == h_new, MAT, VER))
 
-            m1s, h1s, v1s = shift(m1), shift(h1), shift(v1)
-            vv, vm, vh = v1s + ge, m1s + go, h1s + go
-            v_new = jnp.maximum(jnp.maximum(vv, vm), vh)
-            vdir = jnp.where(vv == v_new, VER,
-                             jnp.where(vm == v_new, MAT, HOR))
+                m1s, h1s, v1s = shift(m1), shift(h1), shift(v1)
+                vv, vm, vh = v1s + ge, m1s + go, h1s + go
+                v_new = jnp.maximum(jnp.maximum(vv, vm), vh)
+                vdir = jnp.where(vv == v_new, VER,
+                                 jnp.where(vm == v_new, MAT, HOR))
 
-            bg = jnp.where(d == 0, I32(0), go + ge * (d - 1))
-            top = col == 0
-            left = col == d
-            m_new = jnp.where(top | left, bg, m_new)
-            h_new = jnp.where(top, jnp.where(d == 0, NEG_INF, bg),
-                              jnp.where(left, NEG_INF, h_new))
-            v_new = jnp.where(left, jnp.where(d == 0, NEG_INF, bg),
-                              jnp.where(top, NEG_INF, v_new))
+                bg = jnp.where(d == 0, I32(0), go + ge * (d - 1))
+                top = col == 0
+                left = col == d
+                m_new = jnp.where(top | left, bg, m_new)
+                h_new = jnp.where(top, jnp.where(d == 0, NEG_INF, bg),
+                                  jnp.where(left, NEG_INF, h_new))
+                v_new = jnp.where(left, jnp.where(d == 0, NEG_INF, bg),
+                                  jnp.where(top, NEG_INF, v_new))
 
-            dirs_ref[d] = (
-                mdir | (hdir << 2) | (vdir << 4)).astype(jnp.int8)
+                dirs_ref[d] = (
+                    mdir | (hdir << 2) | (vdir << 4)).astype(jnp.int8)
 
-            sel = (col == la) & (d == la + lb)
-            f0 = jnp.where(sel, m_new, f0)
-            f1 = jnp.where(sel, h_new, f1)
-            f2 = jnp.where(sel, v_new, f2)
+                sel = (col == la) & (d == la + lb)
+                f0 = jnp.where(sel, m_new, f0)
+                f1 = jnp.where(sel, h_new, f1)
+                f2 = jnp.where(sel, v_new, f2)
 
-            return (m_new, h_new, v_new, m1, h1, v1, f0, f1, f2)
+                m2, h2, v2 = m1, h1, v1
+                m1, h1, v1 = m_new, h_new, v_new
+            return (m1, h1, v1, m2, h2, v2, f0, f1, f2)
 
         st = jax.lax.fori_loop(
-            0, num_steps, body, (neg,) * 6 + (neg, neg, neg))
-        f0, f1, f2 = st[6], st[7], st[8]
-        finals_ref[0] = jnp.max(f0, axis=1, keepdims=True)
-        finals_ref[1] = jnp.max(f1, axis=1, keepdims=True)
-        finals_ref[2] = jnp.max(f2, axis=1, keepdims=True)
+            0, num_blocks, body, (neg,) * 6 + (neg, neg, neg))
+        finals_ref[0] = jnp.max(st[6], axis=1, keepdims=True)
+        finals_ref[1] = jnp.max(st[7], axis=1, keepdims=True)
+        finals_ref[2] = jnp.max(st[8], axis=1, keepdims=True)
 
     return _kernel
 
@@ -712,16 +721,22 @@ def align_plan(b: int, la_max: int, lb_max: int, block_b: int = 64,
         bb = 32
         bp = _round_up(b, bb)
     dp = _round_up(num_diag, dchunk)
-    # ---- VMEM-resident mode: when skewed scores (4B) + dirs (1B) for ALL
-    # diagonals fit VMEM per lane block, skip the DMA streaming entirely
-    # (its per-block start/wait latency is comparable to the block compute
-    # at bench widths).  Taken when 32+ lanes fit, or the whole (small)
-    # batch fits one resident block.  LARA_DP_STREAM=1 forces streaming.
+    # ---- VMEM-resident mode (LARA_DP_RESIDENT=1, experiments only): keep
+    # skewed scores (4B) + dirs (1B) for ALL diagonals VMEM-resident and
+    # skip the DMA streaming.  Measured round 5 (e2e iteration slope, bench
+    # tRNA shape): the VMEM budget caps the resident block at 32 lanes, so
+    # the batch runs in 4 sequential blocks and the extra block-visits cost
+    # MORE than the DMA start/wait latency they save -- 0.74 (dchunk 8) /
+    # 0.64 (dchunk 32) vs 0.58 ms/batch-iter for the stream kernels.  The
+    # DMA-latency hypothesis for the production-vs-step-floor gap is
+    # therefore falsified; streaming stays the default.
     import os
 
     resident = False
-    if not os.environ.get("LARA_DP_STREAM"):
-        cap = (12 * 1024 * 1024) // (wp * (5 * dp + 48))
+    if os.environ.get("LARA_DP_RESIDENT"):
+        # BlockSpec operands are double-buffered across grid steps, so the
+        # per-block budget is half the scoped VMEM minus state headroom
+        cap = (11 * 1024 * 1024 // 2) // (wp * (5 * dp + 48))
         if cap >= 1:
             bb_r = 1 << (cap.bit_length() - 1)
             bb_r = min(bb_r, max(8, 1 << (max(block_b, 1).bit_length() - 1)))
@@ -804,7 +819,7 @@ def align_pssm_batch_pallas(pssm, la, lb, go, ge, la_max: int, lb_max: int,
         lane_spec = pl.BlockSpec((bb, 1), lambda g: (g, 0),
                                  memory_space=pltpu.VMEM)
         finals, dirs = pl.pallas_call(
-            _make_resident_kernel(num_diag, bb, wp),
+            _make_resident_kernel(dchunk, num_blocks, bb, wp),
             grid=(bp // bb,),
             in_specs=[
                 pl.BlockSpec((1, 2), lambda g: (0, 0),

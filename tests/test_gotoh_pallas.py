@@ -101,22 +101,24 @@ def test_traceback_seq_part_preskewed(problem):
 
 
 def test_align_path_stream_vs_resident(problem, monkeypatch):
-    """The DMA-streaming and the VMEM-resident kernel variants are exact
-    drop-ins for each other (align_plan picks by VMEM budget)."""
+    """The DMA-streaming (default) and the VMEM-resident (opt-in,
+    LARA_DP_RESIDENT=1) kernel variants are exact drop-ins for each
+    other."""
     pssm, la, lb, la_max, lb_max = problem
     from lara_tpu.ops.gotoh_pallas import align_plan
 
+    monkeypatch.setenv("LARA_DP_RESIDENT", "1")
     plan = align_plan(int(pssm.shape[0]), la_max, lb_max, block_b=4)
-    assert plan[-1], "small shapes should select the resident variant"
+    assert plan[-1], "small shapes should fit the resident variant"
+    align_pssm_batch_pallas.clear_cache()
     res = align_pssm_batch_pallas(
         pssm, la, lb, GO, GE, la_max, lb_max, block_b=4, interpret=True
     )
-    monkeypatch.setenv("LARA_DP_STREAM", "1")
+    monkeypatch.delenv("LARA_DP_RESIDENT")
     align_pssm_batch_pallas.clear_cache()
     stream = align_pssm_batch_pallas(
         pssm, la, lb, GO, GE, la_max, lb_max, block_b=4, interpret=True
     )
-    monkeypatch.delenv("LARA_DP_STREAM")
     align_pssm_batch_pallas.clear_cache()
     for a, b2 in zip(res, stream):
         if a is None:
