@@ -120,11 +120,14 @@ def solve_all(store, pairs: Sequence[Tuple[int, int]], params: Parameters
 
     max_batch_cap = int(os.environ.get("LARA_MAX_BATCH", DEFAULT_MAX_BATCH))
     # chunk-boundary lane refill (the reference's work stealing) applies to
-    # buckets wider than the batch: single-device fused path only (the
-    # sharded path splits buckets across devices instead)
-    refill_ok = (not os.environ.get("LARA_NO_REFILL")
-                 and (len(jax.local_devices()) == 1
-                      or bool(os.environ.get("LARA_REFILL"))))
+    # buckets wider than the batch on the single-device fused path.
+    # OPT-IN (LARA_REFILL=1): measured on the tunnel-attached chip, the
+    # per-boundary flag/result/splice round trips cost more than the idle
+    # lanes they reclaim (120 tRNA pairs through 64 lanes: 0.92 s refill
+    # vs 0.50 s chunked+pipelined, occupancy 0.38 over 7 dispatches); on
+    # directly-attached hardware the RTTs vanish and the trade flips.
+    refill_ok = bool(os.environ.get("LARA_REFILL")) \
+        and not os.environ.get("LARA_NO_REFILL")
     tasks: List[tuple] = []
     for (la_max, lb_max), bucket_pairs in sorted(buckets.items(), reverse=True):
         max_batch = max(1, min(max_batch_cap, cell_budget // (la_max * lb_max)))
