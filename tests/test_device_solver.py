@@ -166,3 +166,13 @@ def test_lane_refill_matches_serial(tmp_path, monkeypatch):
     monkeypatch.setenv("LARA_REFILL", "1")       # engage despite CPU mesh
     refill = run_backend(path, "device", num_iterations=60)
     assert refill == serial
+
+
+def test_balance_auto_device_matches_mirror(tmp_path):
+    """-b auto derives a per-pair balance from the edge-filter identity;
+    the device path and the scalar mirror must agree bit-for-bit."""
+    path = write_family(tmp_path, n=4, seed=21)
+    common = dict(num_iterations=60, balance_auto=True)
+    ref = run_backend(path, "reference", **common)
+    dev = run_backend(path, "device", **common)
+    assert dev == ref
