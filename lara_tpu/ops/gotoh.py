@@ -270,7 +270,23 @@ def edge_filter_batch(seq_a, seq_b, la, lb, submat, go, ge, subopt,
     lb = lb.astype(I32)
     submat = submat.astype(I32)
 
-    sub = submat[seq_a[:, :, None], seq_b[:, None, :]]  # [B, LA, LB]
+    def sub_grid(sa, sb):
+        """[B, LA, LB] substitution scores by exact one-hot MXU lookup:
+        the dense gather runs at ~7.5 ns/element on TPU (0.5 s per 16S
+        batch direction), the einsum at matmul speed.  f32 products of
+        int-valued operands < 2^24 are exact; HIGHEST precision keeps the
+        MXU from rounding through bf16."""
+        nk = submat.shape[0]
+        ranks = jnp.arange(nk, dtype=I32)
+        oh_a = (sa[:, :, None] == ranks).astype(jnp.float32)
+        oh_b = (sb[:, :, None] == ranks).astype(jnp.float32)
+        return jnp.einsum(
+            "bif,fg,bjg->bij", oh_a, submat.astype(jnp.float32), oh_b,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(I32)
+
+    sub = sub_grid(seq_a, seq_b)  # [B, LA, LB]
 
     # forward
     skewed_f = skew_scores(sub, NEG_INF)
@@ -283,7 +299,7 @@ def edge_filter_batch(seq_a, seq_b, la, lb, submat, go, ge, subopt,
         vals = jnp.take_along_axis(seq, idx, axis=1)
         return jnp.where(jnp.arange(size)[None, :] < length[:, None], vals, 4)
 
-    sub_r = submat[rev(seq_a, la, la_max)[:, :, None], rev(seq_b, lb, lb_max)[:, None, :]]
+    sub_r = sub_grid(rev(seq_a, la, la_max), rev(seq_b, lb, lb_max))
     skewed_b = skew_scores(sub_r, NEG_INF)
     res_b = gotoh_scan(skewed_b, la, lb, go, ge, la_max, emit="prefix")
     bwd = unskew(res_b.aux, la_max, lb_max)
