@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
 import time
 from collections import OrderedDict
 from typing import Iterator
@@ -24,44 +25,53 @@ from lara_tpu.utils.logging import log
 
 _BUCKETS: "OrderedDict[str, float]" = OrderedDict()
 _COUNTS: "OrderedDict[str, int]" = OrderedDict()
+# the driver's cross-chunk pipeline times device phases on a worker thread
+# while the main thread times host phases -- serialize the accumulation
+_LOCK = threading.Lock()
 
 
 def reset() -> None:
-    _BUCKETS.clear()
-    _COUNTS.clear()
+    with _LOCK:
+        _BUCKETS.clear()
+        _COUNTS.clear()
 
 
 @contextlib.contextmanager
 def phase(name: str) -> Iterator[None]:
-    """Accumulate wall time into the named bucket."""
+    """Accumulate wall time into the named bucket (thread-safe)."""
     start = time.monotonic()
     try:
         yield
     finally:
         elapsed = time.monotonic() - start
-        _BUCKETS[name] = _BUCKETS.get(name, 0.0) + elapsed
-        _COUNTS[name] = _COUNTS.get(name, 0) + 1
+        with _LOCK:
+            _BUCKETS[name] = _BUCKETS.get(name, 0.0) + elapsed
+            _COUNTS[name] = _COUNTS.get(name, 0) + 1
 
 
 def add(name: str, seconds: float) -> None:
-    _BUCKETS[name] = _BUCKETS.get(name, 0.0) + float(seconds)
-    _COUNTS[name] = _COUNTS.get(name, 0) + 1
+    with _LOCK:
+        _BUCKETS[name] = _BUCKETS.get(name, 0.0) + float(seconds)
+        _COUNTS[name] = _COUNTS.get(name, 0) + 1
 
 
 def snapshot() -> "OrderedDict[str, float]":
     """Copy of the accumulated phase buckets (seconds), for benchmark
     reporting (``bench.py`` records warm per-phase times per scale)."""
-    return OrderedDict(_BUCKETS)
+    with _LOCK:
+        return OrderedDict(_BUCKETS)
 
 
 def report() -> None:
     """Log the accumulated phase table at verbosity 1 (the reference's
     'Alignment time / Matching time / Update time' block)."""
-    if not _BUCKETS:
+    with _LOCK:
+        rows = [(n, s, _COUNTS[n]) for n, s in _BUCKETS.items()]
+    if not rows:
         return
     log(1, "Phase timings:")
-    for name, seconds in _BUCKETS.items():
-        log(1, f"  {name:<28s} {seconds:8.3f} s  (x{_COUNTS[name]})")
+    for name, seconds, count in rows:
+        log(1, f"  {name:<28s} {seconds:8.3f} s  (x{count})")
 
 
 @contextlib.contextmanager
