@@ -40,6 +40,7 @@ def load_input(params: Parameters) -> InputStorage:
         structure_scoring=params.structure_scoring,
         out_format=params.out_format,
         predict_structures=params.predict,
+        threads=int(params.threads),
     )
 
 

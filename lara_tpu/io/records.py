@@ -22,6 +22,9 @@ from typing import List, Optional, Tuple
 #: Minimum base-pair probability; below this no edge is created
 #: (``io.hpp:206,313``, "taken from LISA > Lara").
 MIN_PROB = 0.003
+#: minimum predicted work (sum of len^2 over structure-less records) before
+#: -j spreads the builtin prediction over worker processes
+PARALLEL_PREDICT_MIN_WORK = 500_000
 
 
 @dataclass
@@ -91,6 +94,7 @@ class InputStorage(list):
         structure_scoring: int = 0,
         out_format: str = "lib",
         predict_structures: Optional[str] = None,
+        threads: int = 1,
     ) -> None:
         super().__init__()
         from lara_tpu.io import readers
@@ -101,6 +105,34 @@ class InputStorage(list):
             self.extend(readers.read_rna_file(ref_file))
 
         log_scoring = structure_scoring == 0  # ScoringMode::LOGARITHMIC
+        # built-in structure prediction is per-record independent host
+        # NumPy -- the reference's per-record pf_fold loop (io.hpp:88-89).
+        # -j spreads it over worker PROCESSES (the sweep's many small
+        # vector ops are GIL-bound, so threads measured slower; processes
+        # measured 1.7x at 8x300nt and grow with family size).  Spawn
+        # context: forking after the TPU runtime initialised is unsafe.
+        # Only engages when the predicted work dwarfs the worker startup.
+        need = [r for r in self
+                if predict_structures in ("builtin", None)
+                and not r.bpp_edges and not r.fixed_edges]
+        work = sum(len(r.sequence) ** 2 for r in need)
+        if threads > 1 and len(need) > 3 and work > PARALLEL_PREDICT_MIN_WORK:
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+
+            ctx = multiprocessing.get_context("spawn")
+            with ProcessPoolExecutor(
+                    max_workers=min(threads, len(need)),
+                    mp_context=ctx) as pool:
+                results = list(pool.map(_predict_edges,
+                                        [(r.sequence, log_scoring)
+                                         for r in need]))
+            for record, edges in zip(need, results):
+                record.bpp_edges = edges
+                if not edges:
+                    raise StructurePredictionRequired(
+                        f"Built-in structure prediction produced no base "
+                        f"pairs for record '{record.name}'.")
         for record in self:
             _compute_structure(record, log_scoring, predict_structures)
 
@@ -117,6 +149,22 @@ class InputStorage(list):
         if len(self) <= 1:
             raise LaraInputError("The given file(s) must contain at least two sequences.")
         self.warned_fasta = len(self) > 2 and out_format == "fasta"
+
+
+def _predict_edges(args: Tuple[str, bool]) -> List[Tuple[int, int, float]]:
+    """Worker-process body for parallel builtin prediction: sequence ->
+    bpp edge list with exactly the filtering/weighting of the builtin
+    branch of :func:`_compute_structure` (io.hpp:318-327 semantics)."""
+    sequence, log_scoring = args
+    from lara_tpu.solver import bpp_predict
+
+    probs = bpp_predict.basepair_probabilities(sequence)
+    edges = []
+    for (i, j), p in probs.items():
+        if p > MIN_PROB:
+            weight = math.log(p / MIN_PROB) if log_scoring else p
+            edges.append((i, j, weight))
+    return sorted(edges)
 
 
 def _compute_structure(record: RnaRecord, log_scoring: bool, predict: Optional[str]) -> None:

@@ -272,7 +272,11 @@ def solve_batch(
 ) -> BatchResult:
     """Host-chunked fused solve: the device while_loop runs at most ``chunk``
     iterations per dispatch (long single dispatches trip RPC watchdogs on
-    tunnel-attached TPUs); the carry stays on device between dispatches."""
+    tunnel-attached TPUs); the carry stays on device between dispatches.
+    LARA_CHUNK overrides the dispatch size for experiments."""
+    import os
+
+    chunk = int(os.environ.get("LARA_CHUNK", chunk))
     b, _ = model.seq_score.shape
     d = model.dual_l.shape[1]
     carry = _init_carry(b, d, la_max, step_factor0, num_iterations)

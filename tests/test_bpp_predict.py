@@ -234,3 +234,24 @@ def test_predict_builtin_end_to_end(tmp_path):
         assert record.bpp_edges, record.name
         for (i, j, w) in record.bpp_edges:
             assert i < j
+
+
+def test_parallel_prediction_matches_serial(tmp_path, monkeypatch):
+    """-j parallelises the per-record builtin prediction over worker
+    processes (io.hpp:88-89 role); results must be identical to the
+    serial loop."""
+    import numpy as np
+    from lara_tpu.io import records as records_mod
+    from lara_tpu.io.records import InputStorage
+
+    rng = np.random.default_rng(17)
+    seqs = ["".join("ACGU"[k] for k in rng.integers(0, 4, 60))
+            for _ in range(6)]
+    fa = tmp_path / "many.fa"
+    fa.write_text("".join(f">s{i}\n{s}\n" for i, s in enumerate(seqs)))
+    serial = InputStorage(in_file=str(fa), predict_structures="builtin")
+    monkeypatch.setattr(records_mod, "PARALLEL_PREDICT_MIN_WORK", 0)
+    parallel = InputStorage(in_file=str(fa), predict_structures="builtin",
+                            threads=4)
+    for a, b in zip(serial, parallel):
+        assert a.bpp_edges == b.bpp_edges, a.name

@@ -57,7 +57,8 @@ def test_defaults_match_reference(tmp_path):
     f.write_text(">a\nGGAACC\n((..))\n>b\nGGAACC\n((..))\n")
     p = parse_args(["-i", str(f)])
     # parameters.hpp defaults: n=500, a=50, f=1.0, e=0.01, m=5, u=40,
-    # b=1 (balance), c=1 (seqscale), x=-2, y=-6, libscore binary (0 0)
+    # b=1 (balance), c=0 (seqscale, parameters.hpp:220), x=-2, y=-6,
+    # libscore binary (0 0)
     assert p.num_iterations == 500
     assert p.max_nondecr_iterations == 50
     assert p.step_size_factor == pytest.approx(1.0)
