@@ -95,17 +95,27 @@ def effective_balance(params: Parameters, identity: float) -> float:
     """The structural-score weight for one pair.
 
     ``-b <float>``: the reference's constant factor (``lagrange.hpp:289``).
-    ``-b auto``: keyed on the pair's measured sequence identity -- the
-    quantity the reference's edge filter already computes for ``-c``
-    (``edge_filter.hpp:156-157``).  Calibration (benchmark/RESULTS.md
-    balance sweeps): near-identical pairs are insensitive to balance, and
-    below ~80% identity the measured optimum across hold-out and
-    low-identity families is balance ~= 0.5 -- predicted-structure noise
-    grows with divergence, so its weight must come down.
+    ``-b auto``: keyed on the pair's measured ``avSeqId`` -- the quantity
+    the reference's edge filter already computes for ``-c``
+    (``edge_filter.hpp:156-157``: optimal alignment score / 8192 /
+    max(len)).  NOTE the scale: this is a Ribosum score RATE, not a match
+    fraction -- identical sequences measure ~0.95, the ~70%-identity
+    benchmark families 0.05-0.6, deeply diverged (~35%) families < 0.
+
+    Calibration (benchmark/RESULTS.md round-5 balance sweeps):
+    near-identical pairs are insensitive to balance (keep 1.0 for
+    reference parity); at moderate identity the sequence signal is strong
+    and predicted-structure noise dominates, so a light structural touch
+    wins (0.25: committed families 0.985 SPS, hold-out 0.779 -- both
+    their measured optima); once the sequence signal degrades the
+    structural term must carry more despite its noise (0.5: low-identity
+    families 0.803 vs 0.718 at 0.25).
     """
     if not params.balance_auto:
         return float(params.balance)
-    return 1.0 if identity >= 0.8 else 0.5
+    if identity >= 0.8:
+        return 1.0
+    return 0.25 if identity >= 0.0 else 0.5
 
 
 _NATIVE_BUILD = None

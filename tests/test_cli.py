@@ -42,10 +42,13 @@ def test_balance_auto_parses_and_maps(tmp_path):
     assert p.balance_auto
     from lara_tpu.solver.interactions import effective_balance
 
-    # identity-keyed weight: full weight on near-identical pairs, the
-    # measured hold-out optimum (~0.5) on diverged ones
-    assert effective_balance(p, 0.95) == pytest.approx(1.0)
-    assert effective_balance(p, 0.5) == pytest.approx(0.5)
+    # identity-keyed weight: full weight on near-identical pairs, a light
+    # structural touch at moderate identity, and more structural weight
+    # again once the sequence signal degrades (measured optima per band,
+    # benchmark/RESULTS.md)
+    assert effective_balance(p, 0.95) == pytest.approx(1.0)   # ~identical
+    assert effective_balance(p, 0.4) == pytest.approx(0.25)   # moderate id
+    assert effective_balance(p, -0.2) == pytest.approx(0.5)   # diverged
     # plain float still routes through unchanged
     p2 = parse_args(["-i", str(f), "-b", "0.7"])
     assert not p2.balance_auto
