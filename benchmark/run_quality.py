@@ -45,14 +45,15 @@ def main():
     # (a) true structures as fixed edges: predictor out of the loop
     run("hold-out families, TRUE structures (fixed edges)",
         ["benchmark/data_holdout", *base, "--truth-input"])
-    # (b) the known-good manual point and the identity-keyed '-b auto'
-    for bal in ("0.5", "auto"):
+    # (b) the balance sweep points that calibrate the '-b auto' bands,
+    # and '-b auto' itself (per-pair identity-keyed weight)
+    for bal in ("0.25", "0.5", "auto"):
         run(f"hold-out families, structure-aware, balance={bal}",
             ["benchmark/data_holdout", *base, "--balance", bal])
         run(f"low-identity families, structure-aware, balance={bal}",
             ["benchmark/data_lowid", *base, "--balance", bal])
-    run("committed families, structure-aware, balance=auto",
-        ["benchmark/data", *base, "--balance", "auto"])
+        run(f"committed families, structure-aware, balance={bal}",
+            ["benchmark/data", *base, "--balance", bal])
 
 
 if __name__ == "__main__":
