@@ -127,8 +127,14 @@ def _assert_parity(store, pairs, device_results, params, label):
             sys.exit(1)
 
 
-def run_scale(store, params, label, parity_pairs=2, parity_params=None):
-    """Warm + timed device solve over all pairs; returns the metrics row."""
+def run_scale(store, params, label, parity_pairs=2, parity_params=None,
+              reps=3):
+    """Warm + timed device solve over all pairs; returns the metrics row.
+
+    The timed measurement is the MIN over ``reps`` runs: the tunnel-
+    attached chip shows up to ~20% run-to-run interference noise, and the
+    minimum is the standard interference-free capability estimate (same
+    protocol as the e2e slope measurements in benchmark/PROFILE.md)."""
     from lara_tpu.app import enumerate_pairs
     from lara_tpu.solver import device_driver
     from lara_tpu.utils import timing
@@ -137,12 +143,16 @@ def run_scale(store, params, label, parity_pairs=2, parity_params=None):
     warm = list(device_driver.solve_all(store, pairs, params))
     assert len(warm) == len(pairs), "warm-up produced wrong result count"
 
-    timing.reset()
-    t0 = time.perf_counter()
-    results = list(device_driver.solve_all(store, pairs, params))
-    elapsed = time.perf_counter() - t0
-    assert len(results) == len(pairs)
-    phases = {k: round(v, 4) for k, v in timing.snapshot().items()}
+    elapsed = None
+    for _ in range(max(1, reps)):
+        timing.reset()
+        t0 = time.perf_counter()
+        results = list(device_driver.solve_all(store, pairs, params))
+        run_elapsed = time.perf_counter() - t0
+        assert len(results) == len(pairs)
+        if elapsed is None or run_elapsed < elapsed:
+            elapsed = run_elapsed
+            phases = {k: round(v, 4) for k, v in timing.snapshot().items()}
     total_iters = sum(r.iterations for r in results)
 
     # parity gate: bit-equality with the scalar mirror on a subset (with a
@@ -279,7 +289,7 @@ def main():
         # B=16-32, not B=6; stays under the driver's HBM guard (~2.7 GB) ---
         store16b = make_long_family(n=8, length=1530, seed=47)
         row16b, _, _ = run_scale(store16b, params, "16S-1530nt-batch28",
-                                 parity_pairs=0)
+                                 parity_pairs=0, reps=2)
         scales.append(row16b)
 
         import jax
