@@ -256,6 +256,172 @@ def align_pssm_batch(pssm, la, lb, go, ge, la_max: int, lb_max: int) -> Tracebac
                      la, lb, go, ge, la_max, lb_max)
 
 
+def suffix_scan(sub_shifted, la, lb, go, ge, la_max: int):
+    """Reverse wavefront: aggregate suffix-DP values in FORWARD skewed
+    coordinates.
+
+    ``sub_shifted[d', :, x] = sub(x, d'-x)`` (the forward skewed scores
+    shifted by (+2 diagonals, +1 offset); NEG_INF where out of range).
+    Returns ``S_agg[d', :, x] = max(M,H,V) of the best affine-gap global
+    alignment of A[x:la] vs B[d'-x:lb]`` -- exactly the value the
+    prefix-DP-of-reversed-sequences path produces at the double-flipped
+    cell, but with no sequence reversal and no reversed-coordinate
+    gather to consume it (the edge filter reads it with one STATIC
+    shift).  Recurrences and border conventions mirror
+    :func:`gotoh_scan` cell for cell, so values are bit-identical to
+    the old ``unskew + flip-gather`` formulation (asserted in
+    ``tests/test_gotoh_jax.py``).
+    """
+    num_diag, b, width = sub_shifted.shape
+    assert width == la_max + 1
+    go = I32(go)
+    ge = I32(ge)
+    la = la.astype(I32)
+    lb = lb.astype(I32)
+    x_idx = jnp.arange(width, dtype=I32)[None, :]  # [1, W]
+
+    neg = jnp.full((b, width), NEG_INF, dtype=I32)
+    init = (neg, neg, neg, neg, neg, neg)  # states at d'+1 then d'+2
+
+    def shift_left(x):
+        return jnp.concatenate(
+            [x[:, 1:], jnp.full_like(x[:, :1], NEG_INF)], axis=1)
+
+    def step(carry, inputs):
+        dprime, t_row = inputs
+        m1, h1, v1, m2, h2, v2 = carry
+
+        # M: (x, y) matched, continue at (x+1, y+1) = diag d'+2, offset x+1
+        m2s, h2s, v2s = shift_left(m2), shift_left(h2), shift_left(v2)
+        best_next = jnp.maximum(jnp.maximum(m2s, h2s), v2s)
+        m_new = best_next + t_row
+
+        # H: B[y] gapped, continue at (x, y+1) = diag d'+1, same offset
+        h_new = jnp.maximum(jnp.maximum(h1 + ge, m1 + go), v1 + go)
+
+        # V: A[x] gapped, continue at (x+1, y) = diag d'+1, offset x+1
+        m1s, h1s, v1s = shift_left(m1), shift_left(h1), shift_left(v1)
+        v_new = jnp.maximum(jnp.maximum(v1s + ge, m1s + go), h1s + go)
+
+        # borders: the mirrored images of gotoh_scan's top/left overrides
+        # (reversed-prefix diagonal dd = la+lb-d'; x==la <-> reversed top,
+        # y==lb <-> reversed left)
+        dd = (la + lb)[:, None] - dprime                      # [B, 1]
+        bg = jnp.where(dd == 0, I32(0), go + ge * (dd - 1))
+        top = x_idx == la[:, None]
+        left = x_idx == (dprime - lb)[:, None]
+        m_new = jnp.where(top | left, bg, m_new)
+        h_new = jnp.where(top, jnp.where(dd == 0, NEG_INF, bg),
+                          jnp.where(left, NEG_INF, h_new))
+        v_new = jnp.where(left, jnp.where(dd == 0, NEG_INF, bg),
+                          jnp.where(top, NEG_INF, v_new))
+
+        aux = jnp.maximum(jnp.maximum(m_new, h_new), v_new)
+        return (m_new, h_new, v_new, m1, h1, v1), aux
+
+    ds = jnp.arange(num_diag, dtype=I32)
+    _, s_agg = jax.lax.scan(step, init, (ds, sub_shifted), reverse=True)
+    return s_agg
+
+
+def _shift_diag2(t):
+    """``out[d, :, i] = t[d+2, :, i+1]`` with NEG_INF fill -- the static
+    realignment between a cell (a, b2) at skewed index (a+b2, a) and its
+    (a+1, b2+1) neighbour."""
+    num_diag, b, width = t.shape
+    out = jnp.full_like(t, NEG_INF)
+    return out.at[: num_diag - 2, :, : width - 1].set(t[2:, :, 1:])
+
+
+@functools.partial(jax.jit, static_argnames=("la_max", "lb_max"))
+def edge_filter_skewed_words(seq_a, seq_b, la, lb, submat, go, ge, subopt,
+                             la_max: int, lb_max: int):
+    """Gather-free edge filter: one packed int32 download.
+
+    Same semantics as :func:`edge_filter_batch`, but the whole
+    prefix + substitution + suffix sum is evaluated in SKEWED coordinates
+    (the forward aux, the shifted skewed scores, and the reverse
+    :func:`suffix_scan` are all naturally aligned by static shifts), so
+    the three dense gathers of the grid formulation -- two unskews and the
+    per-lane double-flip suffix lookup, ~1.5 s at the 16S batch shape --
+    disappear.  Returns ``[B, K+1]`` int32: K packed words of skewed
+    active bits plus the per-lane optimum; the host rectangularises with
+    :func:`unskew_active_words` (a free numpy strided view).
+    """
+    la = la.astype(I32)
+    lb = lb.astype(I32)
+    submat = submat.astype(I32)
+
+    sub = _sub_grid(submat, seq_a, seq_b)
+    skewed_f = skew_scores(sub, NEG_INF)
+    res_f = gotoh_scan(skewed_f, la, lb, go, ge, la_max, emit="prefix")
+    opt = jnp.maximum(jnp.maximum(res_f.final_m, res_f.final_h),
+                      res_f.final_v)
+
+    sub_shifted = _shift_diag2(skewed_f)   # sub(a, b2) at index (a+b2, a)
+    s_agg = suffix_scan(sub_shifted, la, lb, go, ge, la_max)
+    suf = _shift_diag2(s_agg)              # S(a+1, b2+1) at index (a+b2, a)
+
+    num_diag, b, width = skewed_f.shape
+    d_idx = jnp.arange(num_diag, dtype=I32)[:, None]
+    a_idx = jnp.arange(width, dtype=I32)[None, :]
+    b2_idx = d_idx - a_idx
+    in_bounds = ((a_idx[None] < la[:, None, None])
+                 & (b2_idx[None] >= 0)
+                 & (b2_idx[None] < lb[:, None, None]))  # [B, D, W]
+    total = res_f.aux + sub_shifted + suf               # [D, B, W]
+    thresh = (opt - I32(subopt))[None, :, None]
+    act = in_bounds & jnp.transpose(total >= thresh, (1, 0, 2))
+
+    flat = act.reshape(b, -1)
+    pad = (-flat.shape[1]) % 32
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    bits = flat.reshape(b, -1, 32).astype(jnp.uint32)
+    words = jnp.sum(bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :],
+                    axis=2).astype(I32)
+    return jnp.concatenate([words, opt[:, None].astype(I32)], axis=1)
+
+
+def unskew_active_words(packed_np: np.ndarray, la_max: int, lb_max: int):
+    """Host side of :func:`edge_filter_skewed_words`: unpack the skewed
+    bit words and rectangularise via a numpy strided view (the unskew
+    index map (a, b2) -> (a+b2)*W + a has constant strides (W+1, W), so
+    no gather is needed anywhere).  Returns (active [B, LA, LB] bool,
+    opt [B])."""
+    b = packed_np.shape[0]
+    width = la_max + 1
+    num_diag = la_max + lb_max + 1
+    # int32 words little-endian: byte view + unpackbits(bitorder='little')
+    # reproduces the device's (value >> k) & 1 order without the [B, K, 32]
+    # broadcast intermediate (which is GBs at 16S batch shapes)
+    words = np.ascontiguousarray(packed_np[:, :-1]).view(np.uint8)
+    flat = np.unpackbits(words, axis=1, bitorder="little").view(bool)
+    flat = np.ascontiguousarray(flat[:, : num_diag * width])
+    s0, s1 = flat.strides
+    active = np.lib.stride_tricks.as_strided(
+        flat, shape=(b, la_max, lb_max),
+        strides=(s0, s1 * (width + 1), s1 * width)).copy()
+    return active, packed_np[:, -1]
+
+
+def _sub_grid(submat, sa, sb):
+    """[B, LA, LB] substitution scores by exact one-hot MXU lookup: the
+    dense gather runs at ~7.5 ns/element on TPU (0.5 s per 16S batch
+    direction), the einsum at matmul speed.  f32 products of int-valued
+    operands < 2^24 are exact; HIGHEST precision keeps the MXU from
+    rounding through bf16."""
+    nk = submat.shape[0]
+    ranks = jnp.arange(nk, dtype=I32)
+    oh_a = (sa[:, :, None] == ranks).astype(jnp.float32)
+    oh_b = (sb[:, :, None] == ranks).astype(jnp.float32)
+    return jnp.einsum(
+        "bif,fg,bjg->bij", oh_a, submat.astype(jnp.float32), oh_b,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(I32)
+
+
 @functools.partial(jax.jit, static_argnames=("la_max", "lb_max"))
 def edge_filter_batch(seq_a, seq_b, la, lb, submat, go, ge, subopt,
                       la_max: int, lb_max: int):
@@ -271,20 +437,7 @@ def edge_filter_batch(seq_a, seq_b, la, lb, submat, go, ge, subopt,
     submat = submat.astype(I32)
 
     def sub_grid(sa, sb):
-        """[B, LA, LB] substitution scores by exact one-hot MXU lookup:
-        the dense gather runs at ~7.5 ns/element on TPU (0.5 s per 16S
-        batch direction), the einsum at matmul speed.  f32 products of
-        int-valued operands < 2^24 are exact; HIGHEST precision keeps the
-        MXU from rounding through bf16."""
-        nk = submat.shape[0]
-        ranks = jnp.arange(nk, dtype=I32)
-        oh_a = (sa[:, :, None] == ranks).astype(jnp.float32)
-        oh_b = (sb[:, :, None] == ranks).astype(jnp.float32)
-        return jnp.einsum(
-            "bif,fg,bjg->bij", oh_a, submat.astype(jnp.float32), oh_b,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(I32)
+        return _sub_grid(submat, sa, sb)
 
     sub = sub_grid(seq_a, seq_b)  # [B, LA, LB]
 

@@ -251,13 +251,24 @@ def _filter_and_build(store, chunk, params: Parameters, la_max: int,
     log(2, f"     device chunk: {b} pairs padded to {la_max}x{lb_max}")
 
     with timing.phase("edge filter (device)"):
-        active_dev, opt_dev = gotoh.edge_filter_batch(
-            seq_a, seq_b, las, lbs, np.asarray(params.score_matrix), go, ge,
-            subopt, la_max, lb_max,
-        )
-        # one packed transfer: per-array downloads each pay a tunnel RTT
-        packed_np = np.asarray(_pack_filter(active_dev, opt_dev))
-        active_np, opt_np = _unpack_filter(packed_np, la_max, lb_max)
+        if os.environ.get("LARA_FILTER_GATHER"):
+            # legacy grid-space formulation (A/B reference): two unskew
+            # gathers + the per-lane flip suffix gather on device
+            active_dev, opt_dev = gotoh.edge_filter_batch(
+                seq_a, seq_b, las, lbs, np.asarray(params.score_matrix),
+                go, ge, subopt, la_max, lb_max,
+            )
+            packed_np = np.asarray(_pack_filter(active_dev, opt_dev))
+            active_np, opt_np = _unpack_filter(packed_np, la_max, lb_max)
+        else:
+            # gather-free: prefix + substitution + reverse suffix scan all
+            # evaluated in skewed coordinates (static shifts only), one
+            # packed download, free strided-view unskew on the host
+            packed_np = np.asarray(gotoh.edge_filter_skewed_words(
+                seq_a, seq_b, las, lbs, np.asarray(params.score_matrix),
+                go, ge, subopt, la_max, lb_max))
+            active_np, opt_np = gotoh.unskew_active_words(
+                packed_np, la_max, lb_max)
 
     # host: packed interaction models, built on -j worker threads
     with timing.phase("interaction build (host)"):

@@ -103,3 +103,40 @@ def test_single_cell_and_degenerate_shapes():
     assert int(out2.upper[0]) == score
     n = int(out2.n_lines[0])
     assert [tuple(x) for x in np.asarray(out2.lines[0][:n])] == lines
+
+
+def test_edge_filter_skewed_words_matches_grid_path():
+    """The gather-free skewed-space edge filter (one packed download +
+    host strided-view unskew) is bit-identical to the grid formulation,
+    including uneven per-lane lengths."""
+    import numpy as np
+    from lara_tpu.params import Parameters
+    from lara_tpu.types import f2i
+
+    rng = np.random.default_rng(23)
+    params = Parameters(in_file="x")
+    submat = np.asarray(params.score_matrix)
+    go, ge = int(params.gap_open_int), int(params.gap_extend_int)
+    subopt = int(f2i(40.0))
+    for _ in range(4):
+        b = int(rng.integers(1, 6))
+        la_max = int(rng.integers(8, 40))
+        lb_max = int(rng.integers(8, 40))
+        seq_a = rng.integers(0, 4, (b, la_max)).astype(np.int32)
+        seq_b = rng.integers(0, 4, (b, lb_max)).astype(np.int32)
+        la = rng.integers(4, la_max + 1, b).astype(np.int32)
+        lb = rng.integers(4, lb_max + 1, b).astype(np.int32)
+        for k in range(b):
+            seq_a[k, la[k]:] = 4
+            seq_b[k, lb[k]:] = 4
+        act_old, opt_old = gotoh.edge_filter_batch(
+            seq_a, seq_b, la, lb, submat, go, ge, subopt, la_max, lb_max)
+        packed = np.asarray(gotoh.edge_filter_skewed_words(
+            seq_a, seq_b, la, lb, submat, go, ge, subopt, la_max, lb_max))
+        act_new, opt_new = gotoh.unskew_active_words(packed, la_max, lb_max)
+        assert np.array_equal(np.asarray(act_old), act_new)
+        assert np.array_equal(np.asarray(opt_old), opt_new)
+        # the reference's forward/backward-optimum invariant
+        # (edge_filter.hpp:141): the suffix scan's (0,0) aggregate equals
+        # the forward optimum -- both live in the packed artifact
+        assert np.array_equal(opt_new, np.asarray(opt_old))
