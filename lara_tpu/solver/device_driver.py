@@ -138,6 +138,23 @@ def solve_all(store, pairs: Sequence[Tuple[int, int]], params: Parameters
             tasks.append(("chunk", la_max, lb_max,
                           bucket_pairs[start : start + max_batch]))
 
+    # single long-pair chunk: split in half so the cross-chunk pipeline below
+    # engages (build/pack of half 2 and download of half 1 hide behind device
+    # solve).  Long pairs only -- at tRNA scale the extra dispatch boundaries
+    # cost more than the ~0.1 s host share they hide (measured: 120 pairs
+    # through 64 lanes ran 0.50 s chunked vs 0.45 s as one batch); at 16S
+    # scale the host share is ~4 s of a ~15 s batch.  The midpoint split
+    # keeps both halves in the same padded-batch program class.
+    split_env = os.environ.get("LARA_SPLIT_SINGLE", "")
+    if (len(tasks) == 1 and tasks[0][0] == "chunk" and split_env != "0"
+            and not os.environ.get("LARA_NO_PIPELINE")):
+        _, la_max, lb_max, chunk = tasks[0]
+        if len(chunk) >= 4 and (la_max * lb_max >= 512 * 512
+                                or split_env == "1"):
+            mid = (len(chunk) + 1) // 2
+            tasks = [("chunk", la_max, lb_max, chunk[:mid]),
+                     ("chunk", la_max, lb_max, chunk[mid:])]
+
     if len(tasks) <= 1 or os.environ.get("LARA_NO_PIPELINE"):
         for task in tasks:
             if task[0] == "refill":

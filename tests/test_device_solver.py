@@ -168,6 +168,19 @@ def test_lane_refill_matches_serial(tmp_path, monkeypatch):
     assert refill == serial
 
 
+def test_single_bucket_split_matches_unsplit(tmp_path, monkeypatch):
+    """A single-bucket workload split into two pipelined chunks (so the host
+    phases of half 2 hide behind half 1's device solve — the long-pair
+    default) must be byte-identical to the one-chunk path."""
+    path = write_family(tmp_path, n=5, seed=17)  # 10 pairs, one bucket
+
+    monkeypatch.setenv("LARA_SPLIT_SINGLE", "0")
+    unsplit = run_backend(path, "device", num_iterations=60)
+    monkeypatch.setenv("LARA_SPLIT_SINGLE", "1")  # force despite short pairs
+    split = run_backend(path, "device", num_iterations=60)
+    assert split == unsplit
+
+
 def test_balance_auto_device_matches_mirror(tmp_path):
     """-b auto derives a per-pair balance from the edge-filter identity;
     the device path and the scalar mirror must agree bit-for-bit."""
