@@ -167,38 +167,52 @@ def solve_all(store, pairs: Sequence[Tuple[int, int]], params: Parameters
         return
 
     # ---- cross-chunk pipeline (the reference's workers never idle,
-    # subgradient_solver.hpp:206-331; here the host prepares chunk k+1 --
-    # edge filter, model build, packing, upload -- while chunk k's
-    # subgradient loop runs on device in a background thread).  Device work
-    # still serialises on the one core; what's hidden is the host share. ----
-    with ThreadPoolExecutor(max_workers=1) as solver_thread:
-        pending = None
+    # subgradient_solver.hpp:206-331).  Three stages on three threads:
+    # the main thread prepares chunk k+1 (edge filter, model build, pack,
+    # upload), the solver thread runs chunk k's dispatch loop, and the
+    # download thread blocks on chunk k-1's tail sync + result transfer.
+    # Device work still serialises on the one core; what's hidden is the
+    # host share AND the per-chunk download (measured ~1.2 s per 16S-half
+    # chunk: almost entirely the final-dispatch sync, which now overlaps
+    # the next chunk's solve).  Depth is 2 chunks only when both fit the
+    # HBM headroom comfortably (3 chunks of state are live at the peak). ----
+    deep_bytes = 2_500_000_000
+    with ThreadPoolExecutor(max_workers=1) as solver_thread, \
+            ThreadPoolExecutor(max_workers=1) as download_thread:
+        pending: List[tuple] = []  # (download future, est_bytes), task order
         for task in tasks:
             if task[0] == "refill":
-                if pending is not None:
-                    yield from pending.result()
-                    pending = None
+                while pending:
+                    yield from pending.pop(0)[0].result()
                 _, la_max, lb_max, bucket_pairs, max_batch = task
                 yield from _run_refill(store, params, la_max, lb_max,
                                        bucket_pairs, max_batch)
                 continue
             _, la_max, lb_max, chunk = task
             prep = _prepare_chunk(store, chunk, params, la_max, lb_max)
-            if pending is not None:
-                yield from pending.result()
-                pending = None
             if isinstance(prep, _Prepared):
-                pending = solver_thread.submit(
-                    lambda p=prep: list(_run_packed(p, store, params)))
+                cap = 2 if (prep.est_bytes <= deep_bytes
+                            and all(e <= deep_bytes for _, e in pending)) \
+                    else 1
+                while len(pending) >= cap:
+                    yield from pending.pop(0)[0].result()
+                solve_fut = solver_thread.submit(_run_solve, prep, params)
+                pending.append((
+                    download_thread.submit(
+                        lambda sf=solve_fut, p=prep:
+                            _download_post(sf.result(), p, params)),
+                    prep.est_bytes))
             else:
                 # oversized for double-buffered HBM residency: solve
                 # synchronously (the build above still overlapped the
                 # previous chunk's device time)
+                while pending:
+                    yield from pending.pop(0)[0].result()
                 models, las, lbs = prep
                 yield from _solve_models(store, chunk, models, params,
                                          la_max, lb_max, las, lbs)
-        if pending is not None:
-            yield from pending.result()
+        while pending:
+            yield from pending.pop(0)[0].result()
 
 
 def _build_workers(params: Parameters) -> int:
@@ -661,6 +675,7 @@ class _Prepared:
     scan_steps: int
     e_cap: int
     n_dev: int
+    est_bytes: int = 0
 
 
 def _solve_models(store, chunk, models, params: Parameters,
@@ -797,43 +812,56 @@ def _pack_models(store, chunk, models, params: Parameters,
     return _Prepared(chunk=chunk, models=models, batch=batch,
                      la_max=la_max, lb_max=lb_max, las=las, lbs=lbs,
                      b=b, bp=bp, go=go, ge=ge, scan_steps=scan_steps,
-                     e_cap=e_cap, n_dev=n_dev)
+                     e_cap=e_cap, n_dev=n_dev,
+                     est_bytes=_chunk_est_bytes(bp, la_max, lb_max, dcap))
 
 
-def _run_packed(prep: _Prepared, store, params: Parameters
-                ) -> Iterator[PairResult]:
+def _run_solve(prep: _Prepared, params: Parameters):
+    """Pipeline middle stage: the device dispatch loop only (no download).
+    Returns the on-device :class:`BatchResult`."""
     from lara_tpu.solver import device_solver
     from lara_tpu.utils import timing
 
-    chunk, models = prep.chunk, prep.models
-    la_max, lb_max, las = prep.la_max, prep.lb_max, prep.las
-
+    la_max, lb_max = prep.la_max, prep.lb_max
     with timing.phase("subgradient solve (device)"):
         if prep.n_dev > 1 and prep.b > 1:
             from lara_tpu.parallel import mesh as mesh_mod
 
-            result = mesh_mod.solve_batch_sharded(
+            return mesh_mod.solve_batch_sharded(
                 prep.batch, prep.go, prep.ge,
                 np.float32(params.step_size_factor),
                 la_max, lb_max, int(params.num_iterations),
                 int(params.max_nondecr_iterations), int(params.matching),
                 scan_steps=prep.scan_steps, e_cap=prep.e_cap,
             )
-        else:
-            result = device_solver.solve_batch(
-                prep.batch, prep.go, prep.ge,
-                np.float32(params.step_size_factor),
-                la_max, lb_max, int(params.num_iterations),
-                int(params.max_nondecr_iterations), int(params.matching),
-                scan_steps=prep.scan_steps, e_cap=prep.e_cap,
-            )
+        return device_solver.solve_batch(
+            prep.batch, prep.go, prep.ge,
+            np.float32(params.step_size_factor),
+            la_max, lb_max, int(params.num_iterations),
+            int(params.max_nondecr_iterations), int(params.matching),
+            scan_steps=prep.scan_steps, e_cap=prep.e_cap,
+        )
+
+
+def _download_post(result, prep: _Prepared, params: Parameters
+                   ) -> List[PairResult]:
+    """Pipeline back half: blocking result download + host postprocess.
+    Runs on the download thread so the device tail sync + transfer of chunk
+    k overlaps chunk k+1's solve dispatches."""
+    from lara_tpu.utils import timing
 
     with timing.phase("result download (host)"):
         packed, s = _download_result(result, params)
+    return [
+        _postprocess_lane(packed, s, k, (ia, ib), prep.models[k], params,
+                          int(prep.las[k]))
+        for k, (ia, ib) in enumerate(prep.chunk)
+    ]
 
-    for k, (ia, ib) in enumerate(chunk):
-        yield _postprocess_lane(packed, s, k, (ia, ib), models[k], params,
-                                int(las[k]))
+
+def _run_packed(prep: _Prepared, store, params: Parameters
+                ) -> Iterator[PairResult]:
+    yield from _download_post(_run_solve(prep, params), prep, params)
 
 
 def _download_result(result, params: Parameters):
