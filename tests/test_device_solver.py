@@ -141,6 +141,14 @@ def test_pipelined_chunks_match_serial(tmp_path, monkeypatch):
         seq = list(long_)
         seq[int(rng.integers(0, len(seq)))] = "ACGU"[rng.integers(0, 4)]
         lines.append(f">l{k}\n{''.join(seq)}\n{st_l}")
+    # a third length class: with >2 tasks the pipeline's depth-2 window
+    # drains mid-loop (downloads of chunk k while k+2 is being prepared)
+    longer = long_ + "GGGCGCAAGCCUUAAGGCGCCCAAGGCUUAGC"
+    st_x = st_l + "(((((((......)))))))............"[: len(longer) - len(st_l)]
+    for k in range(2):
+        seq = list(longer)
+        seq[int(rng.integers(0, len(seq)))] = "ACGU"[rng.integers(0, 4)]
+        lines.append(f">x{k}\n{''.join(seq)}\n{st_x}")
     path.write_text("\n".join(lines) + "\n")
 
     monkeypatch.setenv("LARA_NO_PIPELINE", "1")
@@ -148,9 +156,11 @@ def test_pipelined_chunks_match_serial(tmp_path, monkeypatch):
     monkeypatch.delenv("LARA_NO_PIPELINE")
     pipelined = run_backend(str(path), "device", num_iterations=40)
     assert pipelined == serial
-    # sanity: this workload really is multi-bucket (the pipeline engaged)
+    # sanity: this workload really is 3 buckets (the pipeline engaged and
+    # its depth-2 window drained mid-loop)
     from lara_tpu.solver.device_driver import _pad_dim
-    assert _pad_dim(len(short)) != _pad_dim(len(long_))
+    assert len({_pad_dim(len(short)), _pad_dim(len(long_)),
+                _pad_dim(len(longer))}) == 3
 
 
 def test_lane_refill_matches_serial(tmp_path, monkeypatch):
