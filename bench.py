@@ -112,6 +112,16 @@ def make_long_family(n=2, length=1530, seed=47, mutations=None):
     return records
 
 
+def _full_depth_ok(dev, columns, best_lower, best_upper, iterations):
+    """One definition of the full-depth parity contract (shared by the
+    300nt-golden, 16S-B=1, and batched-16S gates): byte-equal columns and
+    equal bounds AND trajectory length."""
+    return ([list(c) for c in dev.columns] == [list(c) for c in columns]
+            and dev.best_lower == best_lower
+            and dev.best_upper == best_upper
+            and dev.iterations == iterations)
+
+
 def _assert_parity(store, pairs, device_results, params, label):
     """Fatal device/mirror parity gate on a subset of pairs."""
     from lara_tpu.solver import reference_driver
@@ -237,11 +247,8 @@ def main():
                 golden = json.load(fh)
             gi = tuple(golden["seq_indices"])
             dev = next(r for r in res300 if r.seq_indices == gi)
-            ok = ([list(c) for c in dev.columns]
-                  == [list(c) for c in golden["columns"]]
-                  and dev.best_lower == golden["best_lower"]
-                  and dev.best_upper == golden["best_upper"]
-                  and dev.iterations == golden["iterations_run"])
+            ok = _full_depth_ok(dev, golden["columns"], golden["best_lower"],
+                                golden["best_upper"], golden["iterations_run"])
             if not ok:
                 print("FATAL: full-depth 300nt device/mirror mismatch",
                       file=sys.stderr)
@@ -266,13 +273,8 @@ def main():
         row16s["native_1t_alignments_per_s"] = round(
             1.0 / (time.perf_counter() - t0), 3)
         dev16s = res16s[0]
-        ok16s = (
-            [list(c) for c in dev16s.columns]
-            == [list(c) for c in nat16s.columns]
-            and dev16s.best_lower == nat16s.best_lower
-            and dev16s.best_upper == nat16s.best_upper
-            and dev16s.iterations == nat16s.iterations
-        )
+        ok16s = _full_depth_ok(dev16s, nat16s.columns, nat16s.best_lower,
+                               nat16s.best_upper, nat16s.iterations)
         if not ok16s:
             print("FATAL: full-depth 16S device/native-baseline mismatch",
                   file=sys.stderr)
@@ -299,13 +301,8 @@ def main():
             natb = native_baseline.solve_pair(
                 store16b[ia], store16b[ib], params, (ia, ib))
             devb = by_idx16b[natb.seq_indices]
-            okb = (
-                [list(c) for c in devb.columns]
-                == [list(c) for c in natb.columns]
-                and devb.best_lower == natb.best_lower
-                and devb.best_upper == natb.best_upper
-                and devb.iterations == natb.iterations
-            )
+            okb = _full_depth_ok(devb, natb.columns, natb.best_lower,
+                                 natb.best_upper, natb.iterations)
             if not okb:
                 print("FATAL: full-depth batched-16S device/native-baseline "
                       f"mismatch on {natb.seq_indices}", file=sys.stderr)

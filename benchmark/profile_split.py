@@ -63,7 +63,8 @@ def main():
     if a and b:
         same = all(
             ra.seq_indices == rb.seq_indices and ra.best_lower == rb.best_lower
-            and ra.columns == rb.columns
+            and ra.best_upper == rb.best_upper
+            and ra.iterations == rb.iterations and ra.columns == rb.columns
             for ra, rb in zip(sorted(a, key=lambda r: r.seq_indices),
                               sorted(b, key=lambda r: r.seq_indices)))
         print(f"parity split-vs-unsplit: {'OK' if same else 'MISMATCH'}",

@@ -149,9 +149,16 @@ def solve_all(store, pairs: Sequence[Tuple[int, int]], params: Parameters
     if (len(tasks) == 1 and tasks[0][0] == "chunk" and split_env != "0"
             and not os.environ.get("LARA_NO_PIPELINE")):
         _, la_max, lb_max, chunk = tasks[0]
-        if len(chunk) >= 4 and (la_max * lb_max >= 512 * 512
-                                or split_env == "1"):
-            mid = (len(chunk) + 1) // 2
+        mid = (len(chunk) + 1) // 2
+        # only split when both halves round to the SAME padded-batch
+        # power-of-two (e.g. 28 -> 14+14, both bp=16); sizes like 2^k+1
+        # (9 -> 5+4: bp 8 and 4) would cold-compile two NEW device program
+        # shapes where the unsplit path compiles one -- minutes each on the
+        # remote compile helper (benchmark/COMPILE.md)
+        same_class = (1 << max(0, mid - 1).bit_length()) \
+            == (1 << max(0, len(chunk) - mid - 1).bit_length())
+        if len(chunk) >= 4 and same_class \
+                and (la_max * lb_max >= 512 * 512 or split_env == "1"):
             tasks = [("chunk", la_max, lb_max, chunk[:mid]),
                      ("chunk", la_max, lb_max, chunk[mid:])]
 
@@ -174,9 +181,10 @@ def solve_all(store, pairs: Sequence[Tuple[int, int]], params: Parameters
     # Device work still serialises on the one core; what's hidden is the
     # host share AND the per-chunk download (measured ~1.2 s per 16S-half
     # chunk: almost entirely the final-dispatch sync, which now overlaps
-    # the next chunk's solve).  Depth is 2 chunks only when both fit the
-    # HBM headroom comfortably (3 chunks of state are live at the peak). ----
-    deep_bytes = 2_500_000_000
+    # the next chunk's solve).  Depth is 2 chunks with aggregate undrained
+    # state capped before each upload, so peak residency stays bounded
+    # (pending_budget + one 3 GB chunk + solve scratch). ----
+    pending_budget = 2_500_000_000
     with ThreadPoolExecutor(max_workers=1) as solver_thread, \
             ThreadPoolExecutor(max_workers=1) as download_thread:
         pending: List[tuple] = []  # (download future, est_bytes), task order
@@ -189,12 +197,14 @@ def solve_all(store, pairs: Sequence[Tuple[int, int]], params: Parameters
                                        bucket_pairs, max_batch)
                 continue
             _, la_max, lb_max, chunk = task
+            # bound AGGREGATE residency before the next upload lands: the
+            # upload below can add up to the 3 GB _prepare_chunk gate, so
+            # peak device state stays <= pending_budget + 3 GB + scratch
+            while pending and sum(e for _, e in pending) > pending_budget:
+                yield from pending.pop(0)[0].result()
             prep = _prepare_chunk(store, chunk, params, la_max, lb_max)
             if isinstance(prep, _Prepared):
-                cap = 2 if (prep.est_bytes <= deep_bytes
-                            and all(e <= deep_bytes for _, e in pending)) \
-                    else 1
-                while len(pending) >= cap:
+                while len(pending) >= 2:
                     yield from pending.pop(0)[0].result()
                 solve_fut = solver_thread.submit(_run_solve, prep, params)
                 pending.append((
