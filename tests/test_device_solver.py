@@ -191,6 +191,29 @@ def test_single_bucket_split_matches_unsplit(tmp_path, monkeypatch):
     assert split == unsplit
 
 
+def test_scheduler_knobs_all_match_mirror(tmp_path, monkeypatch):
+    """Capstone scheduler-equivalence check: every batching/pipelining
+    configuration of the driver must produce the mirror's bytes on the same
+    workload — the scheduler may only change WHEN work runs, never results
+    (the reference's determinism property, io.hpp:352-383)."""
+    path = write_family(tmp_path, n=5, seed=41)  # 10 pairs, one bucket
+    ref = run_backend(path, "reference", num_iterations=50)
+
+    configs = [
+        {},                                            # default pipeline
+        {"LARA_NO_PIPELINE": "1"},                     # serial chunks
+        {"LARA_SPLIT_SINGLE": "1"},                    # forced bucket split
+        {"LARA_MAX_BATCH": "3"},                       # chunking + pipeline
+        {"LARA_MAX_BATCH": "4", "LARA_REFILL": "1"},   # lane refill
+    ]
+    for env in configs:
+        for key, val in env.items():
+            monkeypatch.setenv(key, val)
+        assert run_backend(path, "device", num_iterations=50) == ref, env
+        for key in env:
+            monkeypatch.delenv(key)
+
+
 def test_balance_auto_device_matches_mirror(tmp_path):
     """-b auto derives a per-pair balance from the edge-filter identity;
     the device path and the scalar mirror must agree bit-for-bit."""
