@@ -425,7 +425,7 @@ def solve_batch_chunk(
                 raise ValueError(
                     "scatter-max PSSM index space exceeds int32: "
                     f"dpp*bpp*wpp = {dpp}*{bpp}*{wpp} >= 2^31; reduce the "
-                    "batch width for pairs this long (LARA_DBATCH)")
+                    "batch width for pairs this long (LARA_MAX_BATCH)")
             base_grid = jnp.where(model.active, model.seq_score,
                                   I32(PSSM_INIT)).reshape(b, la_max, lb_max)
             base_skewed = jnp.pad(
